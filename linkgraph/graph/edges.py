@@ -1,0 +1,165 @@
+"""Edge-table primitives: canonicalization, degrees, orientation, bidirect.
+
+Reference parity (semantics, not code):
+- convertGraph      graph-mining-spark Truss.scala:21-29  (parse edge list)
+- createEdge        graph-mining-spark Truss.scala:236-243 (degree-order
+                    canonical orientation, id tiebreak)
+- calculateDegrees  graph-mining-spark Truss.scala:259-265
+- addDegreesToGraph graph-mining-spark Truss.scala:245-257
+- convertToBidirectedGraph graph-mining-spark GraphMiningSpark.scala:110-134
+- calculateIncomingOutcomingCount (degree histogram)
+                    graph-mining-spark GraphMiningSpark.scala:137-173
+
+All of it is plain Catalyst: hash aggregates with map-side partial
+combine replace reduceByKey, explode replaces flatMap, and the degree
+joins are left to AQE to broadcast when the degree table is small (the
+Flink side hard-coded BROADCAST_HASH hints, flink Truss.scala:63-66).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def edges_from_text(spark: SparkSession, path: str, sep: str = "\t") -> DataFrame:
+    """Parse a one-edge-per-line text file into a directed edge table.
+
+    Mirrors convertGraph (Truss.scala:21-29): ``"<int><sep><int>"`` per
+    line, separator configurable.
+    """
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), sep)
+    return lines.select(
+        parts.getItem(0).cast("long").alias("src"),
+        parts.getItem(1).cast("long").alias("dst"),
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+
+
+def canonicalize(edges: DataFrame) -> DataFrame:
+    """Undirected canonical form: (min, max) pairs, self-loops dropped,
+    duplicates removed. Columns: src < dst."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Per-vertex degree over the canonical undirected edge table.
+
+    calculateDegrees (Truss.scala:259-265) as one explode + hash agg —
+    Catalyst plans this with a partial (map-side) aggregate, the same
+    combine structure as the reference's reduceByKey.
+    """
+    return (
+        edges.select(F.explode(F.array("src", "dst")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def with_degrees(edges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
+    """Attach endpoint degrees: columns (src, dst, src_deg, dst_deg).
+
+    addDegreesToGraph (Truss.scala:245-257) — two equi-joins; AQE
+    broadcasts the degree side when it is small relative to edges.
+    """
+    deg = deg if deg is not None else degrees(edges)
+    return (
+        edges.join(deg.withColumnRenamed("id", "src"), "src")
+        .withColumnRenamed("degree", "src_deg")
+        .join(
+            deg.withColumnRenamed("id", "dst").withColumnRenamed("degree", "dst_deg"),
+            "dst",
+        )
+        .select("src", "dst", "src_deg", "dst_deg")
+    )
+
+
+def orient_by_degree(edges_with_deg: DataFrame) -> DataFrame:
+    """Degree-order orientation: (lo, hi) where (deg, id) of lo < of hi.
+
+    createEdge (Truss.scala:236-243): the node-iterator trick — orienting
+    every edge from its lower-(degree, id) endpoint bounds the out-degree
+    of every vertex by O(sqrt(2m)), which is what makes wedge generation
+    skew-safe without salting. Pure column expressions.
+    """
+    lo_first = (F.struct("src_deg", "src") < F.struct("dst_deg", "dst"))
+    return edges_with_deg.select(
+        F.when(lo_first, F.col("src")).otherwise(F.col("dst")).alias("lo"),
+        F.when(lo_first, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+        F.when(lo_first, F.col("src_deg")).otherwise(F.col("dst_deg")).alias("lo_deg"),
+        F.when(lo_first, F.col("dst_deg")).otherwise(F.col("src_deg")).alias("hi_deg"),
+    )
+
+
+def bidirectional(edges: DataFrame) -> DataFrame:
+    """Both directions of the canonical undirected edge table (u -> v and
+    v -> u), for algorithms that walk adjacency symmetrically."""
+    return edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def reciprocal_edges(directed: DataFrame) -> DataFrame:
+    """Directed edge list -> undirected graph of reciprocal pairs only.
+
+    convertToBidirectedGraph (GraphMiningSpark.scala:110-134): the
+    reference mapped each directed edge to a canonical pair carrying
+    (follows, followed) flags and summed them; here one hash aggregate
+    with two boolean-max flags, then filter both present.
+    """
+    pairs = directed.where(F.col("src") != F.col("dst")).select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+        (F.col("src") < F.col("dst")).alias("fwd"),
+    )
+    return (
+        pairs.groupBy("src", "dst")
+        .agg(F.max("fwd").alias("has_fwd"), F.max(~F.col("fwd")).alias("has_rev"))
+        .where(F.col("has_fwd") & F.col("has_rev"))
+        .select("src", "dst")
+    )
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Histogram of vertex degrees: (degree, n_vertices).
+
+    calculateIncomingOutcomingCount (GraphMiningSpark.scala:137-173)
+    collapsed to the undirected case — two-level hash aggregate.
+    """
+    return (
+        degrees(edges)
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+
+
+def in_out_degree_histograms(directed: DataFrame) -> DataFrame:
+    """Directed variant with in/out/total histograms in one table:
+    (direction in {'in','out','total'}, degree, n_vertices)."""
+    out_deg = directed.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    in_deg = directed.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    total = (
+        directed.select(F.explode(F.array("src", "dst")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    def histo(deg: DataFrame, direction: str) -> DataFrame:
+        return (
+            deg.groupBy("degree")
+            .agg(F.count(F.lit(1)).alias("n_vertices"))
+            .select(F.lit(direction).alias("direction"), "degree", "n_vertices")
+        )
+    return histo(out_deg, "out").unionByName(histo(in_deg, "in")).unionByName(
+        histo(total, "total")
+    )

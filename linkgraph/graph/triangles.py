@@ -1,0 +1,208 @@
+"""Exact triangle enumeration: node-iterator with degree ordering.
+
+Reference semantics:
+- getTriangles (join variant)      graph-mining-spark Truss.scala:46-68
+- getTrianglesNoSpark (node-iter)  graph-mining-spark Truss.scala:71-103
+- degree pre-filter                graph-mining-spark Truss.scala:50
+
+The algorithm (Cohen, "Graph Twiddling in a MapReduce World", 2009):
+orient every undirected edge from its lower-(degree, id) endpoint; each
+triangle is then generated exactly once as a wedge at its lowest-degree
+vertex, closed by a join against the oriented edge set. Degree ordering
+bounds every vertex's out-degree by O(sqrt(2m)), so wedge generation is
+skew-safe by construction — no salting needed for this operator even on
+power-law graphs (the 100TB argument: the largest adjacency run is
+O(sqrt(2m)) rows, total wedge volume is the arboricity bound, and both
+shuffles hash on near-uniform keys).
+
+Three interchangeable kernels, cross-validated in tests:
+- "sql":  adjacency as sorted arrays via collect_list, combination pairs
+          generated with nested `transform` — stays entirely JVM-side.
+          Default.
+- "join": oriented-edge self-join (the reference's `getTriangles` shape).
+- "csr":  sorted-CSR adjacency blocks inside Arrow batches into a fully
+          vectorized NumPy kernel (mapInPandas over partitions hashed by
+          anchor vertex and sorted within) — the pandas-UDF path the
+          north star requires; one Python call per Arrow batch, never
+          per-row (and not even per-group) Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import edges as E
+
+_WEDGE_SCHEMA = "a long, b long, c long"
+
+# Combination pairs (i<j) from the per-vertex sorted adjacency array,
+# entirely as Catalyst expressions (no Python in the hot path).
+_PAIRS_EXPR = (
+    "flatten(transform(nbrs, (x, i) -> "
+    "transform(slice(nbrs, i + 2, size(nbrs)), "
+    "y -> struct(x.hi as b, y.hi as c))))"
+)
+
+
+def _oriented(edges: DataFrame) -> DataFrame:
+    """Canonical edges -> degree-ordered orientation, pre-filtered.
+
+    The `deg > 1` filter mirrors Truss.scala:50 (a vertex of degree 1
+    cannot anchor a wedge); Catalyst pushes it below the projection.
+    """
+    oriented = E.orient_by_degree(E.with_degrees(edges))
+    return oriented.where(F.col("lo_deg") > 1)
+
+
+def _close_wedges(wedges: DataFrame, oriented: DataFrame) -> DataFrame:
+    """Join wedges (a; b, c) with the oriented edge set on (b, c).
+
+    b precedes c in (degree, id) order by construction, so the closing
+    edge — if it exists — is oriented exactly (lo=b, hi=c). Output is
+    id-canonical (a < b < c) regardless of degree order.
+    """
+    closing = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
+    ordered = F.array_sort(F.array("a", "b", "c"))
+    return tri.select(
+        ordered.getItem(0).alias("a"),
+        ordered.getItem(1).alias("b"),
+        ordered.getItem(2).alias("c"),
+    )
+
+
+def _wedges_sql(oriented: DataFrame) -> DataFrame:
+    adj = oriented.groupBy("lo").agg(
+        F.sort_array(F.collect_list(F.struct("hi_deg", "hi"))).alias("nbrs")
+    )
+    return adj.where(F.size("nbrs") > 1).select(
+        F.col("lo").alias("a"), F.explode(F.expr(_PAIRS_EXPR)).alias("w")
+    ).select("a", "w.b", "w.c")
+
+
+def _wedges_join(oriented: DataFrame) -> DataFrame:
+    x, y = oriented.alias("x"), oriented.alias("y")
+    return (
+        x.join(y, "lo")
+        .where(
+            F.struct(F.col("x.hi_deg"), F.col("x.hi"))
+            < F.struct(F.col("y.hi_deg"), F.col("y.hi"))
+        )
+        .select(
+            F.col("lo").alias("a"), F.col("x.hi").alias("b"), F.col("y.hi").alias("c")
+        )
+    )
+
+
+def _cumsum0(x: np.ndarray) -> np.ndarray:
+    """Exclusive prefix sum."""
+    return np.r_[0, np.cumsum(x)[:-1]] if x.size else x
+
+
+def _run_pairs(lo: np.ndarray, hi: np.ndarray) -> pd.DataFrame:
+    """All intra-run (i < j) pairs over CSR runs, fully vectorized.
+
+    `lo` must be run-contiguous and `hi` sorted in degree order within
+    each run. Two-level repeat construction: runs -> i-blocks -> pairs.
+    """
+    change = np.flatnonzero(np.r_[True, lo[1:] != lo[:-1]])
+    indptr = np.r_[change, lo.size]
+    counts = np.diff(indptr)  # run sizes c_r
+    starts = indptr[:-1]
+    L = counts - 1  # i ranges over 0..L-1 per run
+    keep = L > 0
+    if not keep.any():
+        return pd.DataFrame({"a": [], "b": [], "c": []}).astype("int64")
+    L, starts = L[keep], starts[keep]
+    n_runs = L.size
+    # i-blocks: for run r, blocks i = 0..L_r-1 of length L_r - i.
+    run_of_block = np.repeat(np.arange(n_runs), L)
+    i_of_block = np.arange(run_of_block.size) - np.repeat(_cumsum0(L), L)
+    block_len = L[run_of_block] - i_of_block
+    # pairs: expand each block.
+    i = np.repeat(i_of_block, block_len)
+    run_of_pair = np.repeat(run_of_block, block_len)
+    within = np.arange(i.size) - np.repeat(_cumsum0(block_len), block_len)
+    j = i + 1 + within
+    base = starts[run_of_pair]
+    return pd.DataFrame({"a": lo[base], "b": hi[base + i], "c": hi[base + j]})
+
+
+def _csr_batch_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: wedge generation over CSR-packed partitions.
+
+    The input partition is hash-distributed by anchor vertex and sorted
+    within the partition by (lo, hi_deg, hi) — i.e. the partition IS a
+    sorted-CSR block stream. A run may span Arrow batch boundaries, so
+    rows of the last (possibly incomplete) run are carried into the next
+    batch; the carry is flushed at end-of-partition.
+    """
+    carry: pd.DataFrame | None = None
+    for pdf in batches:
+        if carry is not None and len(carry):
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        if pdf.empty:
+            carry = None
+            continue
+        lo = pdf["lo"].to_numpy(np.int64)
+        last = lo[-1]
+        cut = int(np.searchsorted(lo, last, side="left"))
+        carry = pdf.iloc[cut:]
+        head = pdf.iloc[:cut]
+        if len(head):
+            yield _run_pairs(
+                head["lo"].to_numpy(np.int64), head["hi"].to_numpy(np.int64)
+            )
+    if carry is not None and len(carry):
+        yield _run_pairs(
+            carry["lo"].to_numpy(np.int64), carry["hi"].to_numpy(np.int64)
+        )
+
+
+def _wedges_csr(oriented: DataFrame) -> DataFrame:
+    csr = (
+        oriented.select("lo", "hi", "hi_deg")
+        .repartition("lo")
+        .sortWithinPartitions("lo", "hi_deg", "hi")
+    )
+    return csr.mapInPandas(_csr_batch_iter, schema=_WEDGE_SCHEMA)
+
+
+_WEDGE_KERNELS = {"sql": _wedges_sql, "join": _wedges_join, "csr": _wedges_csr}
+
+
+def triangles(edges: DataFrame, strategy: str = "sql") -> DataFrame:
+    """Enumerate all triangles of the canonical undirected edge table.
+
+    Returns (a, b, c) with a < b < c, one row per triangle, exactly.
+    """
+    oriented = _oriented(edges)
+    wedges = _WEDGE_KERNELS[strategy](oriented)
+    return _close_wedges(wedges, oriented)
+
+
+def triangle_count(edges: DataFrame, strategy: str = "sql") -> int:
+    return triangles(edges, strategy).count()
+
+
+def edge_support(tri: DataFrame) -> DataFrame:
+    """Per-edge triangle count (support): (src, dst, support).
+
+    The peel loop's support recount (Truss.scala:128-134) — explode each
+    triangle into its three canonical edges, hash-aggregate.
+    """
+    tri_edges = tri.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("a").alias("src"), F.col("c").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    return tri_edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("support"))

@@ -1,0 +1,72 @@
+"""Golden triangle counts (FIXTURES.md §1, §3) across all three kernels."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from linkgraph.graph.edges import canonicalize
+from linkgraph.graph.triangles import edge_support, triangle_count, triangles
+from tests.conftest import complete_graph, gnp_graph, path_graph, star_graph
+
+STRATEGIES = ["sql", "join", "csr"]
+
+
+def brute_triangles(pairs):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tris = set()
+    for a, b in pairs:
+        for c in adj[a] & adj[b]:
+            tris.add(tuple(sorted((a, b, c))))
+    return tris
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_truss_mini_22(truss_mini, strategy):
+    assert triangle_count(truss_mini, strategy) == 22
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_small_twitter_5(small_twitter, strategy):
+    assert triangle_count(small_twitter, strategy) == 5
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+@pytest.mark.parametrize("n", [5, 6, 8])
+def test_complete_graph(spark, strategy, n):
+    assert triangle_count(canonicalize(complete_graph(spark, n)), strategy) == math.comb(
+        n, 3
+    )
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_triangle_free(spark, strategy):
+    assert triangle_count(canonicalize(path_graph(spark, 10)), strategy) == 0
+    assert triangle_count(canonicalize(star_graph(spark, 12)), strategy) == 0
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_gnp_vs_bruteforce(spark, strategy):
+    edges = canonicalize(gnp_graph(spark, n=120, p=0.08, seed=42))
+    pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+    expected = brute_triangles(pairs)
+    got = {(r["a"], r["b"], r["c"]) for r in triangles(edges, strategy).collect()}
+    assert got == expected
+
+
+def test_enumeration_canonical_and_distinct(truss_mini):
+    rows = triangles(truss_mini).collect()
+    tuples = [(r["a"], r["b"], r["c"]) for r in rows]
+    assert len(tuples) == len(set(tuples)) == 22
+    assert all(a < b < c for a, b, c in tuples)
+
+
+def test_edge_support_sums_to_3x_triangles(truss_mini):
+    tri = triangles(truss_mini)
+    sup = edge_support(tri)
+    total = sum(r["support"] for r in sup.collect())
+    assert total == 3 * 22
