@@ -1,0 +1,99 @@
+"""Superstep checkpointing with per-partition lineage + counters.
+
+Iterative DataFrame algorithms accumulate unbounded lineage across
+driver-side ``while`` rounds — the reference's persist-only approach
+(graph-mining-spark Truss.scala:48,73,137; its Flink side literally
+wrote/re-read HDFS between binary-search probes,
+graph-mining-flink MaximalTruss.scala:51-101). Here every superstep can
+be materialized to a checkpoint table with a JSON manifest recording the
+superstep number, row count, arbitrary algorithm counters, and the
+per-partition file lineage (parquet part files + sizes), so any run is
+resumable mid-iteration: ``latest()`` finds the last complete superstep
+and ``load()`` restarts from it bit-identically.
+
+Two modes:
+- ``dir=None``  -> ``localCheckpoint`` only (fast, test/local mode; cuts
+  lineage but is not resumable across processes).
+- ``dir=path``  -> parquet + manifest per superstep (cluster mode; the
+  parquet write is the shuffle barrier that cuts lineage).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "manifest.json"
+
+
+@dataclass
+class Checkpointer:
+    """Checkpoint manager for one named iterative job."""
+
+    spark: SparkSession
+    dir: str | None = None
+    job: str = "job"
+    every: int = 1  # checkpoint every N supersteps (cluster cost knob)
+    history: list[dict] = field(default_factory=list)
+
+    def _step_dir(self, step: int) -> str:
+        assert self.dir is not None
+        return os.path.join(self.dir, self.job, f"superstep={step:05d}")
+
+    def save(self, df: DataFrame, step: int, counters: dict | None = None) -> DataFrame:
+        """Materialize a superstep; returns the (lineage-cut) DataFrame.
+
+        The manifest is written only after the parquet commit succeeds, so
+        a manifest's presence == superstep complete (atomic resume point).
+        """
+        counters = dict(counters or {})
+        if self.dir is None or (step % self.every) != 0:
+            out = df.localCheckpoint(eager=True)
+            self.history.append({"superstep": step, "counters": counters, "mode": "local"})
+            return out
+        path = self._step_dir(step)
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        files = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        ) if os.path.isdir(path) else []
+        manifest = {
+            "job": self.job,
+            "superstep": step,
+            "ts": time.time(),
+            "rows": out.count(),
+            "counters": counters,
+            "partitions": [
+                {"file": f, "bytes": os.path.getsize(os.path.join(path, f))}
+                for f in files
+            ],
+        }
+        with open(os.path.join(path, MANIFEST), "w") as fh:
+            json.dump(manifest, fh)
+        self.history.append(manifest)
+        return out
+
+    def latest(self) -> int | None:
+        """Last superstep with a complete manifest, or None."""
+        if self.dir is None:
+            return None
+        root = os.path.join(self.dir, self.job)
+        if not os.path.isdir(root):
+            return None
+        steps = []
+        for d in os.listdir(root):
+            if d.startswith("superstep=") and os.path.exists(
+                os.path.join(root, d, MANIFEST)
+            ):
+                steps.append(int(d.split("=")[1]))
+        return max(steps) if steps else None
+
+    def load(self, step: int) -> tuple[DataFrame, dict]:
+        path = self._step_dir(step)
+        with open(os.path.join(path, MANIFEST)) as fh:
+            manifest = json.load(fh)
+        return self.spark.read.parquet(path), manifest

@@ -1,0 +1,78 @@
+"""Synchronous label propagation (community detection).
+
+Not in the reference (scope extension per BASELINE.json north_star);
+semantics follow Raghavan, Albert, Kumara 2007 (near-linear-time
+community detection), made deterministic for testability: synchronous
+updates, a vertex adopts the most frequent label among its neighbors,
+ties broken by the MINIMUM label (no RNG), bounded iterations.
+
+Execution per superstep (bounded): 1 join (labels onto edge endpoints),
+1 count aggregate, 1 max-by (argmax via struct-max aggregate — no
+window, no sort), 1 driver action for the changed-vertex count. The
+tie-break encodes (count desc, label asc) as max(struct(count, -label)),
+keeping the argmax a hash aggregate instead of a Window sort at scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.checkpoint import Checkpointer
+
+
+@dataclass
+class LPAResult:
+    labels: DataFrame           # (id, label)
+    iterations: int
+    changed: int                # vertices changed in the last round
+    counters: list[dict] = field(default_factory=list)
+
+
+def label_propagation(
+    edges: DataFrame,
+    max_iter: int = 20,
+    checkpointer: Checkpointer | None = None,
+) -> LPAResult:
+    """Deterministic synchronous LPA over the canonical undirected edges."""
+    spark = edges.sparkSession
+    ckpt = checkpointer or Checkpointer(spark, job="lpa")
+
+    adj = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        adj.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+
+    counters: list[dict] = []
+    changed = -1
+    it = 0
+    for it in range(1, max_iter + 1):
+        nbr_labels = adj.join(
+            labels.withColumnRenamed("id", "dst"), "dst"
+        ).select(F.col("src").alias("id"), "label")
+        votes = nbr_labels.groupBy("id", "label").agg(F.count(F.lit(1)).alias("n"))
+        # argmax by (n desc, label asc): max over struct(n, -label).
+        winner = votes.groupBy("id").agg(
+            F.max(F.struct(F.col("n"), (-F.col("label")).alias("neg"))).alias("w")
+        ).select("id", (-F.col("w.neg")).alias("new_label"))
+        merged = labels.join(winner, "id", "left_outer").select(
+            "id",
+            F.coalesce("new_label", "label").alias("label"),
+            (F.coalesce("new_label", "label") != F.col("label")).alias("chg"),
+        )
+        merged = ckpt.save(merged, it)
+        changed = merged.where("chg").count()
+        labels = merged.select("id", "label")
+        counters.append({"iteration": it, "changed": changed})
+        if changed == 0:
+            break
+    return LPAResult(labels=labels, iterations=it, changed=changed, counters=counters)

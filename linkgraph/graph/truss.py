@@ -1,0 +1,178 @@
+"""k-truss decomposition by iterative edge-support peeling + max-truss.
+
+Reference semantics (matched exactly at the fixpoint):
+- calculateTrusses  graph-mining-spark Truss.scala:115-166 — triangles
+  computed ONCE, then a driver-controlled loop: support = triangle count
+  per edge, drop edges with support < k-2, drop triangles touching a
+  dropped edge, until the edge count stops changing; then label the
+  surviving edges by connected component ("zone").
+- maxTruss          graph-mining-spark MaximalTruss.scala:19-63 —
+  gallop-up / bisect binary search over k, reusing each found truss as
+  the next probe's input graph.
+
+Crucial parity detail (SURVEY.md §7): support is recounted from
+*surviving triangles* (3-edges-alive semantics, Truss.scala:139-146),
+not from pairwise adjacency — these differ mid-iteration.
+
+Spark-first changes vs the reference:
+- the reference's 3 cascaded re-joins per round become 3 left-semi joins
+  against the alive-edge set (no payload duplication, Catalyst plans
+  them as shuffled hash joins with the alive side broadcast when small).
+- each round's triangle table is checkpointed (persist-only in the
+  reference ==> unbounded lineage, its known scalability cliff).
+- one driver action per round (the fixpoint count), matching the
+  "shuffle rounds bounded per superstep" rule.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.checkpoint import Checkpointer
+from linkgraph.graph.components import component_of_edges, connected_components
+from linkgraph.graph.triangles import edge_support, triangles
+
+
+def _alive_triangles(tri: DataFrame, alive: DataFrame) -> DataFrame:
+    """Triangles whose three edges (a,b),(a,c),(b,c) all survive."""
+    ab = alive.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    ac = alive.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    bc = alive.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    return (
+        tri.join(ab, ["a", "b"], "left_semi")
+        .join(ac, ["a", "c"], "left_semi")
+        .join(bc, ["b", "c"], "left_semi")
+    )
+
+
+@dataclass
+class TrussResult:
+    edges: DataFrame          # surviving k-truss edges (src, dst)
+    n_edges: int
+    rounds: int
+    counters: list[dict] = field(default_factory=list)
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    checkpointer: Checkpointer | None = None,
+    tri: DataFrame | None = None,
+    max_rounds: int = 1000,
+) -> TrussResult:
+    """Edges of the k-truss: every edge supported by >= k-2 triangles.
+
+    ``tri`` lets max_truss reuse an already-computed triangle table.
+    """
+    spark = edges.sparkSession
+    ckpt = checkpointer or Checkpointer(spark, job=f"truss_k{k}")
+    thresh = k - 2
+    if thresh <= 0:
+        # k <= 2: every edge is trivially a 2-truss.
+        n = edges.count()
+        return TrussResult(edges=edges, n_edges=n, rounds=0)
+
+    # Algorithmic pre-filter (MaximalTruss.scala:28): an endpoint of a
+    # k-truss edge has degree >= k-1; cheap degree prune before the
+    # expensive triangle enumeration. Conservative variant deg > k-2.
+    if tri is None:
+        tri = triangles(edges)
+    tri = ckpt.save(tri, 0, {"stage": "triangles"})
+
+    prev_count = -1
+    rounds = 0
+    counters: list[dict] = []
+    alive = None
+    for rounds in range(1, max_rounds + 1):
+        sup = edge_support(tri)
+        alive = sup.where(F.col("support") >= thresh).select("src", "dst")
+        tri = _alive_triangles(tri, alive)
+        tri = ckpt.save(tri, rounds, {"stage": "peel"})
+        n_alive = alive.count()
+        counters.append({"round": rounds, "alive_edges": n_alive})
+        if n_alive == prev_count:
+            break
+        prev_count = n_alive
+        if n_alive == 0:
+            break
+    assert alive is not None
+    return TrussResult(
+        edges=alive.localCheckpoint(eager=True) if prev_count else alive,
+        n_edges=prev_count if prev_count >= 0 else 0,
+        rounds=rounds,
+        counters=counters,
+    )
+
+
+def k_truss_components(
+    edges: DataFrame, k: int, checkpointer: Checkpointer | None = None
+) -> DataFrame:
+    """(component, src, dst) — the reference's truss output shape
+    (zone id per surviving edge, Truss.scala:153-165), with zone labels
+    normalized to the component's min vertex id."""
+    res = k_truss(edges, k, checkpointer)
+    if res.n_edges == 0:
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "component long, src long, dst long")
+    labels = connected_components(res.edges)
+    return component_of_edges(res.edges, labels)
+
+
+@dataclass
+class MaxTrussResult:
+    k: int                    # maximum k with a non-empty k-truss
+    edges: DataFrame          # the k_max-truss edges
+    probes: list[dict] = field(default_factory=list)
+
+
+def max_truss(
+    edges: DataFrame,
+    k0: int = 4,
+    checkpointer: Checkpointer | None = None,
+) -> MaxTrussResult:
+    """Maximum-k truss via the reference's gallop/bisect search
+    (MaximalTruss.scala:19-63): probe k; empty -> bisect down toward
+    minK; non-empty before any empty seen -> double k (gallop); else
+    bisect up. Each non-empty truss becomes the next probe's input graph
+    (the search shrinks monotonically). The Flink variant's result-
+    shadowing bug (flink MaximalTruss.scala:15-22) is NOT replicated —
+    golden semantics follow the Spark version.
+    """
+    spark = edges.sparkSession
+    graph = edges
+    best = edges
+    best_k = 2
+    min_k, max_k = 1, 0
+    k = max(k0, 3)
+    probes: list[dict] = []
+    while k != max_k and k != min_k:
+        ckpt = checkpointer or Checkpointer(spark, job=f"maxtruss_k{k}")
+        # degree prune before each probe (MaximalTruss.scala:28)
+        from linkgraph.graph.edges import degrees
+
+        deg = degrees(graph)
+        keep = deg.where(F.col("degree") >= k - 1).select("id")
+        pruned = graph.join(
+            keep.withColumnRenamed("id", "src"), "src", "left_semi"
+        ).join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi").select(
+            "src", "dst"
+        )
+        res = k_truss(pruned, k, ckpt)
+        probes.append({"k": k, "edges": res.n_edges, "rounds": res.rounds})
+        if res.n_edges == 0:
+            max_k = k
+            k = min_k + (k - min_k) // 2
+        elif max_k == 0:
+            min_k = k
+            best, best_k = res.edges, k
+            graph = res.edges
+            k = 2 * k
+        else:
+            min_k = k
+            best, best_k = res.edges, k
+            graph = res.edges
+            k = k + (max_k - k) // 2
+    return MaxTrussResult(k=best_k, edges=best, probes=probes)

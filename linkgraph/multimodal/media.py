@@ -1,0 +1,161 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as `binary` columns with a typed
+metadata struct; decode / feature-extraction / frame-sampling run as
+pandas-UDF batch kernels over mapInPandas, so the JVM only ever moves
+opaque bytes and the Python side sees whole Arrow batches.
+
+The real decode step needs codec libraries (PIL/ffmpeg/soundfile) that
+are NOT in this container, so the codec boundary is STUBBED — clearly
+marked below — behind `_decode_payload`, which either raises
+NotImplementedError (`strict=True`) or produces a deterministic fake
+decode derived from the payload bytes (`strict=False`, default for
+tests). Everything around the stub — schema, Arrow batch shape,
+partitioning, UDF signatures, output contracts — is real and tested;
+swapping in a real codec is a one-function change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+_KINDS = [("image", "image/png"), ("audio", "audio/wav"), ("video", "video/mp4")]
+
+
+def synthetic_media(spark: SparkSession, n: int = 100, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = seeded pseudo-bytes)."""
+    df = spark.range(n)
+    kind_idx = (F.col("id") + seed) % 3
+    kind = (
+        F.when(kind_idx == 0, "image").when(kind_idx == 1, "audio").otherwise("video")
+    )
+    mime = (
+        F.when(kind_idx == 0, "image/png")
+        .when(kind_idx == 1, "audio/wav")
+        .otherwise("video/mp4")
+    )
+    payload = F.sha2(F.concat(F.lit(f"media:{seed}:"), F.col("id")), 512).cast("binary")
+    return df.select(
+        F.col("id").alias("media_id"),
+        kind.alias("kind"),
+        mime.alias("mime"),
+        F.when(kind_idx != 1, (F.col("id") % 64 + 16).cast("int")).alias("width"),
+        F.when(kind_idx != 1, (F.col("id") % 48 + 16).cast("int")).alias("height"),
+        F.when(kind_idx != 0, (F.col("id") % 9000 + 1000).cast("int")).alias(
+            "duration_ms"
+        ),
+        payload.alias("payload"),
+    )
+
+
+# ---------------------------------------------------------------- STUB --
+def _decode_payload(payload: bytes, kind: str, strict: bool) -> np.ndarray:
+    """STUB: the real codec (PIL / ffmpeg / soundfile) is not available
+    in this container. strict=True raises; strict=False produces a
+    deterministic fake 'decode' (bytes -> seeded float array) so the
+    surrounding Spark plumbing is testable end-to-end."""
+    if strict:
+        raise NotImplementedError(
+            f"no codec library available to decode kind={kind!r}; install "
+            "PIL/ffmpeg/soundfile and replace _decode_payload"
+        )
+    digest = hashlib.sha256(bytes(payload)).digest()
+    rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
+    return rng.standard_normal(64)
+# -----------------------------------------------------------------------
+
+
+def decode_images(
+    media: DataFrame, target_w: int = 32, target_h: int = 32, strict: bool = False
+) -> DataFrame:
+    """(media_id, pixels: array<double>) — decode + resize kernel.
+
+    Batch shape: one Python call per Arrow batch; the resize itself is a
+    vectorized reshape of the (fake-)decoded signal to target_w*target_h
+    via linear interpolation — the contract a real decoder must meet.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        size = target_w * target_h
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for payload in pdf["payload"]:
+                sig = _decode_payload(payload, "image", strict)
+                xp = np.linspace(0, 1, len(sig))
+                out.append(np.interp(np.linspace(0, 1, size), xp, sig))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "pixels": [o.tolist() for o in out]}
+            )
+
+    imgs = media.where(F.col("kind") == "image").select("media_id", "payload")
+    return imgs.mapInPandas(kernel, schema="media_id long, pixels array<double>")
+
+
+def extract_features(media: DataFrame, dim: int = 64, strict: bool = False) -> DataFrame:
+    """(media_id, kind, feature: array<double>) for every media row."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats = [
+                _decode_payload(p, k, strict)[:dim].tolist()
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "kind": pdf["kind"], "feature": feats}
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        kernel, schema="media_id long, kind string, feature array<double>"
+    )
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, strict: bool = False
+) -> DataFrame:
+    """(media_id, frame_idx, ts_ms, frame: array<double>) — frame
+    sampling for video rows at a fixed stride; frame count derives from
+    duration_ms, so the output cardinality is metadata-driven (plannable
+    JVM-side) while frame decode stays in the batch kernel."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame": []}
+            for _, r in pdf.iterrows():
+                n_frames = max(1, int(r["duration_ms"]) // every_ms)
+                base = _decode_payload(r["payload"], "video", strict)
+                for i in range(n_frames):
+                    rows["media_id"].append(r["media_id"])
+                    rows["frame_idx"].append(i)
+                    rows["ts_ms"].append(i * every_ms)
+                    rows["frame"].append(np.roll(base, i).tolist())
+            yield pd.DataFrame(rows)
+
+    vids = media.where(F.col("kind") == "video").select(
+        "media_id", "duration_ms", "payload"
+    )
+    return vids.mapInPandas(
+        kernel, schema="media_id long, frame_idx int, ts_ms int, frame array<double>"
+    )

@@ -1,0 +1,78 @@
+"""PageRank vs NumPy power-iteration oracle (allclose 1e-6)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from linkgraph.graph.edges import canonicalize
+from linkgraph.graph.pagerank import pagerank
+from tests.conftest import complete_graph, edge_df, gnp_graph, star_graph
+
+
+def numpy_pagerank(pairs, damping=0.85, directed=False, iters=500):
+    """Dense oracle with identical semantics (dangling mass uniform)."""
+    links = list(pairs) + ([] if directed else [(b, a) for a, b in pairs])
+    ids = sorted({v for e in links for v in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    out = np.zeros(n)
+    for a, _ in links:
+        out[idx[a]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        dangling = r[out == 0].sum()
+        for a, b in links:
+            contrib[idx[b]] += r[idx[a]] / out[idx[a]]
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    return {v: r[idx[v]] for v in ids}
+
+
+def ranks_dict(df):
+    return {r["id"]: r["rank"] for r in df.collect()}
+
+
+def assert_close(got, want, tol=1e-6):
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) <= tol, (k, got[k], want[k])
+
+
+def test_complete_graph_uniform(spark):
+    n = 6
+    res = pagerank(canonicalize(complete_graph(spark, n)), tol=1e-9)
+    got = ranks_dict(res.ranks)
+    assert_close(got, {i: 1.0 / n for i in range(1, n + 1)})
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_small_twitter_vs_oracle(small_twitter):
+    pairs = [(r["src"], r["dst"]) for r in small_twitter.collect()]
+    res = pagerank(small_twitter, tol=1e-9)
+    assert_close(ranks_dict(res.ranks), numpy_pagerank(pairs))
+
+
+def test_star_hub_dominates(spark):
+    res = pagerank(canonicalize(star_graph(spark, 10)), tol=1e-9)
+    got = ranks_dict(res.ranks)
+    assert got[0] > 0.3
+    leaf = [v for k, v in got.items() if k != 0]
+    assert np.allclose(leaf, leaf[0], atol=1e-9)
+
+
+def test_gnp_vs_oracle(spark):
+    edges = canonicalize(gnp_graph(spark, n=80, p=0.06, seed=3))
+    pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+    res = pagerank(edges, tol=1e-9)
+    assert_close(ranks_dict(res.ranks), numpy_pagerank(pairs))
+
+
+def test_directed_with_dangling(spark):
+    # 1->2->3, 3 dangling; exercises dangling-mass redistribution.
+    edges = edge_df(spark, [(1, 2), (2, 3)])
+    res = pagerank(edges, directed=True, tol=1e-9)
+    assert_close(
+        ranks_dict(res.ranks), numpy_pagerank([(1, 2), (2, 3)], directed=True)
+    )
+    assert abs(sum(ranks_dict(res.ranks).values()) - 1.0) < 1e-6
