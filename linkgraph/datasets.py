@@ -1,0 +1,72 @@
+"""Driver-testdata graph derivations (TPC-H-ish parquet -> edge tables).
+
+The driver's correctness gate runs every ``__spark_entry__.queries()``
+entry against a DuckDB oracle over the same parquet tables, so each
+derivation here is deliberately expressible in plain ANSI SQL — the
+DataFrame code below and the oracle strings in ``__spark_entry__`` are
+the same relational algebra, written twice.
+
+Graphs:
+- **co-purchase** (dense): parts are vertices; an edge connects two
+  parts that appear in the same order. ~116k edges / ~2k vertices /
+  ~414k triangles at sf0.01 — the triangle/truss workload.
+- **co-purchase sparse** (l_quantity >= 48 filter): ~431 edges, 246
+  components at sf0.01 — the iterative workload (CC / PageRank / LPA)
+  where the oracle side is a recursive CTE.
+- **supply digraph**: distinct (l_suppkey -> l_partkey) directed edges —
+  the reciprocal-pair and in/out-histogram workload (the reference's
+  `bidirect` and `histo` modes, GraphMiningSpark.scala:110-173).
+
+Scale notes: the pair expansion self-joins on l_orderkey; order groups
+are tiny and near-uniform (max ~7 lineitems), so the join is skew-free
+and the quadratic blowup is bounded by sum(group^2) ~ 6x input. At
+100 TB the same derivation holds because the group key cardinality
+(orders) grows with the data while group size stays O(1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def co_purchase_edges(
+    spark: SparkSession, sf_dir: str, min_quantity: float | None = None
+) -> DataFrame:
+    """Canonical undirected part co-purchase edges (src < dst)."""
+    li = load(spark, sf_dir, "lineitem")
+    if min_quantity is not None:
+        li = li.where(F.col("l_quantity") >= min_quantity)
+    ps = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    return (
+        a.join(b, "ok")
+        .where(F.col("a.pk") < F.col("b.pk"))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .distinct()
+    )
+
+
+def sparse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sparse co-purchase variant used by the iterative algorithms."""
+    return co_purchase_edges(spark, sf_dir, min_quantity=48)
+
+
+def supply_digraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct directed supplier -> part edges."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst"))
+        .distinct()
+    )

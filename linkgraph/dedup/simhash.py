@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
 
 _PAIR_EXPR = (
     "flatten(transform(ids, (x, i) -> "
@@ -31,7 +32,9 @@ _PAIR_EXPR = (
 )
 
 
-@pandas_udf("long")
+# DataType object (not DDL string): decoration at import time must not
+# require an active SparkSession.
+@pandas_udf(LongType())
 def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
     """array<long> token hashes -> 64-bit simhash, vectorized per batch.
 

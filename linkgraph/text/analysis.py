@@ -38,7 +38,8 @@ def token_stats(df: DataFrame, col: str = "text") -> DataFrame:
     ws = F.when(F.length(F.trim(F.col(col))) == 0, F.lit(0)).otherwise(
         F.size(F.split(F.trim(F.col(col)), r"\s+"))
     )
-    bpe = F.size(F.expr(f"regexp_extract_all({col}, '{_TOKEN_RE}', 0)"))
+    # lit() pattern, not F.expr: a SQL string literal would eat the \s.
+    bpe = F.size(F.regexp_extract_all(F.col(col), F.lit(_TOKEN_RE), F.lit(0)))
     return df.withColumn("n_tokens_ws", ws.cast("long")).withColumn(
         "n_tokens_bpe", bpe.cast("long")
     )
@@ -104,9 +105,15 @@ def language_id(df: DataFrame, col: str = "text") -> DataFrame:
 def doc_fingerprint(
     df: DataFrame, col: str = "text", shingle: int = 5, keep: int = 8
 ) -> DataFrame:
-    """Append fingerprint: xxhash64 over the `keep` smallest hashed
-    word-`shingle`-grams (winnowing-style rolling fingerprint — robust
-    to local edits, stable under reordering of far-apart content).
+    """Append a MinHash-style document sketch:
+
+    - ``fingerprint_sketch``: the `keep` smallest xxhash64 values over
+      the word-`shingle`-grams. A local edit touching w shingles
+      perturbs at most ~w of the `keep` entries, so *sketch overlap*
+      (array_intersect size) is the edit-robust similarity signal —
+      the exact-equality use case is covered by ``fingerprint``.
+    - ``fingerprint``: xxhash64 of the sketch — equal only for
+      (near-)identical shingle sets; the cheap exact-dup grouping key.
 
     Entirely Catalyst: split -> shingle via transform over an index
     sequence -> xxhash64 per shingle -> array_sort -> slice -> hash.
@@ -118,8 +125,16 @@ def doc_fingerprint(
     grams = F.transform(
         idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, shingle)))
     )
-    mins = F.slice(F.array_sort(grams), 1, keep)
-    fp = F.when(n >= shingle, F.xxhash64(mins)).otherwise(
-        F.xxhash64(F.trim(F.col(col)))
+    mins = F.when(n >= shingle, F.slice(F.array_sort(grams), 1, keep)).otherwise(
+        F.array(F.xxhash64(F.trim(F.col(col))))
     )
-    return df.withColumn("fingerprint", fp)
+    return df.withColumn("fingerprint_sketch", mins).withColumn(
+        "fingerprint", F.xxhash64(F.col("fingerprint_sketch"))
+    )
+
+
+def sketch_overlap(a: Column, b: Column) -> Column:
+    """Similarity in [0,1] between two fingerprint sketches."""
+    return F.size(F.array_intersect(a, b)) / F.greatest(
+        F.size(a), F.size(b)
+    )
