@@ -1,10 +1,26 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` is the smoke check; each ``queries()[name]`` runs at
+sf=0.01 against the matching ``oracle_sql()[name]`` via DuckDB
+(row-count + schema + order-insensitive value-hash).
+
+Conventions:
+- Graph queries run over edge tables derived from the driver's parquet
+  testdata (see ``linkgraph/datasets.py``): a dense part co-purchase
+  graph (triangles/truss workloads), a sparse variant (iterative
+  CC/PageRank/LPA workloads — their oracles are recursive CTEs), and a
+  directed supplier->part graph (reciprocal/histogram workloads).
+- Every float column is rounded to 6 decimals on BOTH sides; rank
+  vectors agree to ~1e-15 between engines (same double arithmetic,
+  different summation order), so 6 decimals is far from the noise
+  floor while still a real value check.
+- Iterative queries run a FIXED 20 supersteps (tol=0) so the oracle's
+  recursion depth matches deterministically; both algorithms are at
+  their fixpoint well before 20 rounds on these graphs.
+- Ops whose results depend on engine-specific hash functions
+  (xxhash64 minhash/simhash/fingerprints) or on approximate index
+  structure (LSH, IVF) have no SQL oracle -> rows-only check; their
+  exact-oracle coverage lives in tests/ against brute-force baselines.
 """
 
 from __future__ import annotations
@@ -12,27 +28,454 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linkgraph import datasets
+from linkgraph.dedup.embedding import brute_force_pairs, embedding_near_duplicates
+from linkgraph.dedup.exact import deduplicate_exact, exact_duplicate_groups
+from linkgraph.dedup.minhash import minhash_near_duplicates
+from linkgraph.dedup.ngram import ngram_jaccard_pairs
+from linkgraph.dedup.simhash import simhash_near_duplicates
+from linkgraph.graph import edges as E
+from linkgraph.graph.components import component_of_edges, connected_components
+from linkgraph.graph.labelprop import label_propagation
+from linkgraph.graph.pagerank import pagerank
+from linkgraph.graph.triangles import edge_support, triangles
+from linkgraph.graph.truss import k_truss, max_truss
+from linkgraph.multimodal.media import extract_features, synthetic_media
+from linkgraph.sim.ann import brute_force_topk, ivf_topk
+from linkgraph.text.analysis import language_id, quality_features, token_stats
+
+# --------------------------------------------------------------------------
+# shared SQL prelude fragments (DuckDB side)
+# --------------------------------------------------------------------------
+
+_E_DENSE = """
+ps AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+      FROM ps a JOIN ps b ON a.ok = b.ok AND a.pk < b.pk)
+"""
+
+_E_TRUSS = """
+ps AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       WHERE l_quantity >= 40),
+e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+      FROM ps a JOIN ps b ON a.ok = b.ok AND a.pk < b.pk)
+"""
+
+_E_SPARSE = """
+ps AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       WHERE l_quantity >= 48),
+e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+      FROM ps a JOIN ps b ON a.ok = b.ok AND a.pk < b.pk),
+b AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)
+"""
+
+_TRI = """
+tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM e e1
+        JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+"""
+
+_DOCS2 = """
+d2 AS (SELECT doc_id, text FROM documents
+       UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents)
+"""
+
+_STOP = {
+    "en": "'the','and','of','to','in','is','that','it','for','with'",
+    "de": "'der','die','das','und','ist','nicht','ein','mit','auf','sich'",
+    "fr": "'le','la','les','de','et','est','un','une','que','pour'",
+    "es": "'el','la','los','de','que','y','es','un','una','por'",
+}
+
+
+def _docs2(spark: SparkSession, sf: str) -> DataFrame:
+    d = datasets.load(spark, sf, "documents").select("doc_id", "text")
+    return d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+
+
+# --------------------------------------------------------------------------
+# entry
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PageRank over the co-purchase link graph at sf0.001."""
+    edges = datasets.co_purchase_edges(spark, "/root/testdata/sf0.001")
+    res = pagerank(edges, max_iter=20, tol=1e-9)
+    return res.ranks.select("id", F.round("rank", 6).alias("rank")).orderBy("id")
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def _q_edges(spark, sf):
+    return datasets.co_purchase_edges(spark, sf)
+
+
+def _q_degrees(spark, sf):
+    return E.degrees(datasets.co_purchase_edges(spark, sf))
+
+
+def _q_degree_histogram(spark, sf):
+    return E.degree_histogram(datasets.co_purchase_edges(spark, sf))
+
+
+def _q_triangles(spark, sf):
+    return triangles(datasets.co_purchase_edges(spark, sf), strategy="sql")
+
+
+def _q_triangles_csr(spark, sf):
+    return triangles(datasets.co_purchase_edges(spark, sf), strategy="csr")
+
+
+def _q_triangle_count(spark, sf):
+    tri = triangles(datasets.co_purchase_edges(spark, sf), strategy="sql")
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def _q_edge_support(spark, sf):
+    return edge_support(triangles(datasets.co_purchase_edges(spark, sf)))
+
+
+def _q_reciprocal(spark, sf):
+    return E.reciprocal_edges(datasets.supply_digraph(spark, sf))
+
+
+def _q_inout_histo(spark, sf):
+    return E.in_out_degree_histograms(datasets.supply_digraph(spark, sf))
+
+
+def _q_components(spark, sf):
+    return connected_components(datasets.sparse_edges(spark, sf))
+
+
+def _q_component_edges(spark, sf):
+    edges = datasets.sparse_edges(spark, sf)
+    return component_of_edges(edges, connected_components(edges))
+
+
+def _q_pagerank(spark, sf):
+    res = pagerank(datasets.sparse_edges(spark, sf), max_iter=20, tol=0.0)
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _q_lpa(spark, sf):
+    res = label_propagation(datasets.sparse_edges(spark, sf), max_iter=20)
+    return res.labels
+
+
+def _q_ktruss4(spark, sf):
+    res = k_truss(datasets.co_purchase_edges(spark, sf, min_quantity=40), k=4)
+    return res.edges.select("src", "dst")
+
+
+def _q_max_truss(spark, sf):
+    res = max_truss(datasets.sparse_edges(spark, sf), k0=3)
+    return res.edges.sparkSession.createDataFrame(
+        [(res.k, res.edges.count())], "k_max int, n_edges long"
+    )
+
+
+def _q_dedup_exact(spark, sf):
+    return deduplicate_exact(_docs2(spark, sf)).select("doc_id")
+
+
+def _q_dedup_groups(spark, sf):
+    return exact_duplicate_groups(_docs2(spark, sf))
+
+
+def _q_token_stats(spark, sf):
+    d = datasets.load(spark, sf, "documents").select("doc_id", "text")
+    return token_stats(d).select("doc_id", "n_tokens_ws", "n_tokens_bpe")
+
+
+def _q_quality(spark, sf):
+    d = datasets.load(spark, sf, "documents").select("doc_id", "text")
+    q = quality_features(d)
+    return q.select(
+        "doc_id",
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("quality_score", 6).alias("quality_score"),
+    )
+
+
+def _q_language(spark, sf):
+    d = datasets.load(spark, sf, "documents").select("doc_id", "text")
+    return language_id(d).select("doc_id", "lang_pred")
+
+
+def _q_embedding_topk(spark, sf):
+    emb = datasets.load(spark, sf, "embeddings")
+    return brute_force_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=10
+    ).select("query_id", "rank", "id", F.round("score", 6).alias("score"))
+
+
+def _q_embedding_pairs(spark, sf):
+    emb = datasets.load(spark, sf, "embeddings")
+    return brute_force_pairs(emb, threshold=0.3).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def _q_embedding_lsh(spark, sf):
+    emb = datasets.load(spark, sf, "embeddings")
+    return embedding_near_duplicates(emb, threshold=0.3).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def _q_ivf_topk(spark, sf):
+    emb = datasets.load(spark, sf, "embeddings")
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=10, n_cells=8, n_probe=8
+    ).select("query_id", "rank", "id", F.round("score", 6).alias("score"))
+
+
+def _q_minhash(spark, sf):
+    d = _docs2(spark, sf)
+    return minhash_near_duplicates(d, col="text", id_col="doc_id", threshold=0.8)
+
+
+def _q_simhash(spark, sf):
+    d = _docs2(spark, sf)
+    return simhash_near_duplicates(d, col="text", id_col="doc_id", max_hamming=3)
+
+
+def _q_ngram(spark, sf):
+    d = _docs2(spark, sf)
+    return ngram_jaccard_pairs(d, col="text", id_col="doc_id", threshold=0.8)
+
+
+def _q_media_features(spark, sf):
+    media = synthetic_media(spark, n=200)
+    return extract_features(media, dim=16).select("media_id", "kind", "feature")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "copurchase_edges": _q_edges,
+        "degrees": _q_degrees,
+        "degree_histogram": _q_degree_histogram,
+        "triangles": _q_triangles,
+        "triangles_csr": _q_triangles_csr,
+        "triangle_count": _q_triangle_count,
+        "edge_support": _q_edge_support,
+        "reciprocal_edges": _q_reciprocal,
+        "in_out_degree_histograms": _q_inout_histo,
+        "connected_components": _q_components,
+        "component_edges": _q_component_edges,
+        "pagerank": _q_pagerank,
+        "label_propagation": _q_lpa,
+        "ktruss_4": _q_ktruss4,
+        "max_truss": _q_max_truss,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_groups": _q_dedup_groups,
+        "token_stats": _q_token_stats,
+        "quality_features": _q_quality,
+        "language_id": _q_language,
+        "embedding_topk": _q_embedding_topk,
+        "embedding_pairs": _q_embedding_pairs,
+        "embedding_lsh": _q_embedding_lsh,
+        "ivf_topk": _q_ivf_topk,
+        "minhash_pairs": _q_minhash,
+        "simhash_pairs": _q_simhash,
+        "ngram_jaccard": _q_ngram,
+        "media_features": _q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracles
+# --------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    histo = (
+        "SELECT degree, count(*) AS n_vertices FROM "
+        "(SELECT id, count(*) AS degree FROM "
+        "(SELECT src AS id FROM e UNION ALL SELECT dst FROM e) GROUP BY id) "
+        "GROUP BY degree"
+    )
+    quality = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         length(text) AS len,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^\\.,;:!?''"()]', '', 'g')) AS n_punct,
+         CASE WHEN length(text) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS n_words,
+         len(list_intersect(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            [{_STOP['en']}])) AS n_stop
+  FROM documents),
+r AS (
+  SELECT doc_id,
+         CASE WHEN len > 0 THEN CAST(n_alpha AS DOUBLE) / len ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN len > 0 THEN CAST(n_punct AS DOUBLE) / len ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words ELSE 0.0 END AS mwl
+  FROM t)
+SELECT doc_id,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(mwl, 6) AS mean_word_len,
+       round(least(alpha_ratio * 1.25, CAST(1.0 AS DOUBLE)) * 0.4
+             + least(stop_ratio * 5.0, CAST(1.0 AS DOUBLE)) * 0.3
+             + (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.0 END) * 0.2
+             + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.1,
+             6) AS quality_score
+FROM r
+"""
+    lang_scores = ", ".join(
+        f"len(list_intersect(w, [{_STOP[lg]}])) AS s_{lg}" for lg in _STOP
+    )
+    language = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents),
+s AS (SELECT doc_id, {lang_scores} FROM t),
+g AS (SELECT doc_id, s_en, s_de, s_fr, s_es,
+             greatest(s_en, s_de, s_fr, s_es) AS best FROM s)
+SELECT doc_id,
+       CASE WHEN best = 0 THEN 'und'
+            WHEN s_fr = best THEN 'fr'
+            WHEN s_es = best THEN 'es'
+            WHEN s_en = best THEN 'en'
+            ELSE 'de' END AS lang_pred
+FROM g
+"""
+    return {
+        "copurchase_edges": f"WITH {_E_DENSE} SELECT src, dst FROM e",
+        "degrees": (
+            f"WITH {_E_DENSE} SELECT id, count(*) AS degree FROM "
+            "(SELECT src AS id FROM e UNION ALL SELECT dst FROM e) GROUP BY id"
+        ),
+        "degree_histogram": f"WITH {_E_DENSE} {histo}",
+        "triangles": f"WITH {_E_DENSE}, {_TRI} SELECT a, b, c FROM tri",
+        "triangles_csr": f"WITH {_E_DENSE}, {_TRI} SELECT a, b, c FROM tri",
+        "triangle_count": (
+            f"WITH {_E_DENSE}, {_TRI} SELECT count(*) AS n_triangles FROM tri"
+        ),
+        "edge_support": f"""
+WITH {_E_DENSE}, {_TRI},
+te AS (SELECT a AS src, b AS dst FROM tri
+       UNION ALL SELECT a, c FROM tri
+       UNION ALL SELECT b, c FROM tri)
+SELECT src, dst, count(*) AS support FROM te GROUP BY src, dst
+""",
+        "reciprocal_edges": """
+WITH d AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+p AS (SELECT least(src, dst) AS src, greatest(src, dst) AS dst,
+             max(CASE WHEN src < dst THEN 1 ELSE 0 END) AS f,
+             max(CASE WHEN src > dst THEN 1 ELSE 0 END) AS r
+      FROM d WHERE src <> dst GROUP BY 1, 2)
+SELECT src, dst FROM p WHERE f = 1 AND r = 1
+""",
+        "in_out_degree_histograms": """
+WITH d AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+od AS (SELECT src AS id, count(*) AS degree FROM d GROUP BY src),
+idg AS (SELECT dst AS id, count(*) AS degree FROM d GROUP BY dst),
+td AS (SELECT id, count(*) AS degree FROM
+       (SELECT src AS id FROM d UNION ALL SELECT dst FROM d) GROUP BY id)
+SELECT 'out' AS direction, degree, count(*) AS n_vertices FROM od GROUP BY degree
+UNION ALL
+SELECT 'in', degree, count(*) FROM idg GROUP BY degree
+UNION ALL
+SELECT 'total', degree, count(*) FROM td GROUP BY degree
+""",
+        "connected_components": f"""
+WITH RECURSIVE {_E_SPARSE},
+reach(id, r) AS (
+  SELECT src, src FROM b
+  UNION
+  SELECT b.dst, reach.r FROM b JOIN reach ON reach.id = b.src)
+SELECT id, min(r) AS label FROM reach GROUP BY id
+""",
+        "component_edges": f"""
+WITH RECURSIVE {_E_SPARSE},
+reach(id, r) AS (
+  SELECT src, src FROM b
+  UNION
+  SELECT b.dst, reach.r FROM b JOIN reach ON reach.id = b.src),
+lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+SELECT lab.label AS component, e.src, e.dst FROM e JOIN lab ON lab.id = e.src
+""",
+        "pagerank": f"""
+WITH RECURSIVE {_E_SPARSE},
+deg AS (SELECT src AS id, count(*) AS out_deg FROM b GROUP BY src),
+nv AS (SELECT count(*) AS n FROM deg),
+pr(it, id, rank) AS (
+  SELECT 0, id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nv) FROM deg
+  UNION ALL
+  SELECT it + 1, b.dst,
+         CAST(0.15 AS DOUBLE) / (SELECT n FROM nv)
+         + CAST(0.85 AS DOUBLE) * sum(pr.rank / deg.out_deg)
+  FROM pr JOIN b ON pr.id = b.src JOIN deg ON deg.id = b.src
+  WHERE it < 20
+  GROUP BY it, b.dst)
+SELECT id, round(rank, 6) AS rank FROM pr WHERE it = 20
+""",
+        "label_propagation": f"""
+WITH RECURSIVE {_E_SPARSE},
+lp(it, id, label) AS (
+  SELECT 0, src, src FROM (SELECT DISTINCT src FROM b) t(src)
+  UNION ALL
+  SELECT it + 1, id, label FROM (
+    SELECT it, b.src AS id, lp.label AS label,
+           row_number() OVER (PARTITION BY it, b.src
+                              ORDER BY count(*) DESC, lp.label ASC) AS rn
+    FROM lp JOIN b ON lp.id = b.dst
+    WHERE it < 20
+    GROUP BY it, b.src, lp.label) WHERE rn = 1)
+SELECT id, label FROM lp WHERE it = 20
+""",
+        "dedup_exact": (
+            f"WITH {_DOCS2} SELECT min(doc_id) AS doc_id FROM d2 GROUP BY md5(text)"
+        ),
+        "dedup_groups": f"""
+WITH {_DOCS2}
+SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS min_id
+FROM d2 GROUP BY md5(text) HAVING count(*) > 1
+""",
+        "token_stats": r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens_ws,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS n_tokens_bpe
+FROM documents
+""",
+        "quality_features": quality,
+        "language_id": language,
+        "embedding_topk": """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT q.query_id, c.id, list_cosine_similarity(c.v, q.v) AS score
+      FROM q CROSS JOIN c),
+r AS (SELECT query_id, id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, id ASC) AS rn
+      FROM s)
+SELECT query_id, rn AS rank, id, round(score, 6) AS score FROM r WHERE rn <= 10
+""",
+        "embedding_pairs": """
+WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM c a JOIN c b ON a.id < b.id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+""",
+        # no oracle (engine-hash- or index-structure-dependent,
+        # approximate-recall by design, or iterative beyond
+        # single-reference recursion): ktruss_4, max_truss,
+        # embedding_lsh, ivf_topk, minhash_pairs, simhash_pairs,
+        # ngram_jaccard, media_features.
+    }
