@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from linkgraph import datasets
 from linkgraph.dedup.embedding import brute_force_pairs, embedding_near_duplicates
+from linkgraph.events import event_type_funnel, sessionize, tumbling_window_counts
 from linkgraph.dedup.exact import deduplicate_exact, exact_duplicate_groups
 from linkgraph.dedup.minhash import minhash_near_duplicates
 from linkgraph.dedup.ngram import ngram_jaccard_pairs
@@ -255,6 +256,20 @@ def _q_ngram(spark, sf):
     return ngram_jaccard_pairs(d, col="text", id_col="doc_id", threshold=0.8)
 
 
+def _q_events_windows(spark, sf):
+    return tumbling_window_counts(datasets.load(spark, sf, "events"), minutes=60)
+
+
+def _q_events_sessions(spark, sf):
+    return sessionize(datasets.load(spark, sf, "events"), gap_minutes=30)
+
+
+def _q_events_funnel(spark, sf):
+    return event_type_funnel(
+        datasets.load(spark, sf, "events"), ["view", "click", "purchase"]
+    )
+
+
 def _q_media_features(spark, sf):
     media = synthetic_media(spark, n=200)
     return extract_features(media, dim=16).select("media_id", "kind", "feature")
@@ -290,6 +305,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash,
         "ngram_jaccard": _q_ngram,
         "media_features": _q_media_features,
+        "events_window_counts": _q_events_windows,
+        "events_sessionize": _q_events_sessions,
+        "events_funnel": _q_events_funnel,
     }
 
 
@@ -472,6 +490,43 @@ SELECT a.id AS id_a, b.id AS id_b,
        round(list_cosine_similarity(a.v, b.v), 6) AS cosine
 FROM c a JOIN c b ON a.id < b.id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+""",
+        "events_window_counts": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "events_sessionize": """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT user_id, ts,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g)
+SELECT user_id, session_id, min(ts) AS session_start,
+       max(ts) AS session_end, count(*) AS n_events
+FROM s GROUP BY user_id, session_id
+""",
+        "events_funnel": """
+WITH f AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+  FROM events GROUP BY user_id)
+SELECT 'view' AS step, 0 AS step_idx, count(*) AS n_users
+FROM f WHERE t0 IS NOT NULL
+UNION ALL
+SELECT 'click', 1, count(*) FROM f
+WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+UNION ALL
+SELECT 'purchase', 2, count(*) FROM f
+WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+  AND t2 IS NOT NULL AND t2 >= t1
 """,
         # no oracle (engine-hash- or index-structure-dependent,
         # approximate-recall by design, or iterative beyond

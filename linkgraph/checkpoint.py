@@ -44,23 +44,36 @@ class Checkpointer:
         assert self.dir is not None
         return os.path.join(self.dir, self.job, f"superstep={step:05d}")
 
-    def save(self, df: DataFrame, step: int, counters: dict | None = None) -> DataFrame:
+    def save(
+        self,
+        df: DataFrame,
+        step: int,
+        counters: dict | None = None,
+        eager: bool = True,
+    ) -> DataFrame:
         """Materialize a superstep; returns the (lineage-cut) DataFrame.
 
         The manifest is written only after the parquet commit succeeds, so
         a manifest's presence == superstep complete (atomic resume point).
+
+        ``eager=False`` (local mode only) defers materialization to the
+        caller's next action, letting an algorithm fuse "checkpoint this
+        superstep" and "compute this superstep's convergence metric" into
+        ONE driver round-trip — at high parallelism the per-job fixed
+        cost is what caps scaling efficiency of cheap supersteps.
         """
         counters = dict(counters or {})
         if self.dir is None or (step % self.every) != 0:
-            out = df.localCheckpoint(eager=True)
+            out = df.localCheckpoint(eager=eager)
             self.history.append({"superstep": step, "counters": counters, "mode": "local"})
             return out
         path = self._step_dir(step)
-        df.write.mode("overwrite").parquet(path)
-        out = self.spark.read.parquet(path)
+        data = os.path.join(path, "data")
+        df.write.mode("overwrite").parquet(data)
+        out = self.spark.read.parquet(data)
         files = sorted(
-            f for f in os.listdir(path) if f.endswith(".parquet")
-        ) if os.path.isdir(path) else []
+            f for f in os.listdir(data) if f.endswith(".parquet")
+        ) if os.path.isdir(data) else []
         manifest = {
             "job": self.job,
             "superstep": step,
@@ -68,7 +81,7 @@ class Checkpointer:
             "rows": out.count(),
             "counters": counters,
             "partitions": [
-                {"file": f, "bytes": os.path.getsize(os.path.join(path, f))}
+                {"file": f, "bytes": os.path.getsize(os.path.join(data, f))}
                 for f in files
             ],
         }
@@ -96,4 +109,4 @@ class Checkpointer:
         path = self._step_dir(step)
         with open(os.path.join(path, MANIFEST)) as fh:
             manifest = json.load(fh)
-        return self.spark.read.parquet(path), manifest
+        return self.spark.read.parquet(os.path.join(path, "data")), manifest

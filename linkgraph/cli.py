@@ -1,0 +1,109 @@
+"""Command-line entry mirroring the reference's program modes.
+
+The reference dispatches on a mode string in `main`
+(graph-mining-spark GraphMiningSpark.scala:43-94; args
+`mode inputPath outputPath separator partitioning [k]`, README.md:41-47).
+Same surface here, Spark-first:
+
+    spark-submit --py-files linkgraph.zip -m linkgraph.cli \\
+        <mode> <input> <output> [--sep TAB] [--partitions N] [--k K]
+
+Modes (reference cites in parentheses):
+  bidirect        reciprocal-edge preprocessing (GraphMiningSpark.scala:61-62)
+  triangle        triangle enumeration + count, join kernel (scala:64-65)
+  triangleNoSpark triangle enumeration, node-iterator kernel (scala:67-68)
+  trianglecsr     triangle enumeration, Arrow-CSR kernel (new)
+  truss           k-truss for a given k, component-labelled (scala:70-84)
+  maxtruss        max-k truss via binary search from k (scala:86-91)
+  histo           in/out/total degree histograms (scala:93-94)
+  pagerank        PageRank to convergence (scope extension)
+  components      connected components (scope extension)
+  labelprop       label propagation (scope extension)
+
+Input: either a parquet edge table (src, dst) or an edge-list text file
+("<int><sep><int>" per line, Truss.scala:21-29); detected by extension.
+Output: parquet directory per result table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linkgraph.graph import edges as E
+from linkgraph.graph.components import component_of_edges, connected_components
+from linkgraph.graph.labelprop import label_propagation
+from linkgraph.graph.pagerank import pagerank
+from linkgraph.graph.triangles import triangles
+from linkgraph.graph.truss import k_truss_components, max_truss
+from linkgraph.session import build_session
+
+_SEP = {"TAB": "\t", "SPACE": " ", "COMMA": ","}
+
+
+def _read_edges(spark: SparkSession, path: str, sep: str) -> DataFrame:
+    if path.endswith((".txt", ".csv", ".tsv")):
+        raw = E.edges_from_text(spark, path, sep)
+    else:
+        raw = spark.read.parquet(path).select("src", "dst")
+    return raw
+
+
+def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
+    sep = _SEP.get(args.sep, args.sep)
+    raw = _read_edges(spark, args.input, sep)
+    und = E.canonicalize(raw)
+    if args.partitions:
+        und = und.repartition(args.partitions, "src")
+
+    if args.mode == "bidirect":
+        return E.reciprocal_edges(raw)
+    if args.mode == "triangle":
+        return triangles(und, strategy="join")
+    if args.mode == "triangleNoSpark":
+        return triangles(und, strategy="sql")
+    if args.mode == "trianglecsr":
+        return triangles(und, strategy="csr")
+    if args.mode == "truss":
+        return k_truss_components(und, args.k)
+    if args.mode == "maxtruss":
+        res = max_truss(und, k0=args.k)
+        print(f"max-k: {res.k}; probes: {res.probes}", file=sys.stderr)
+        return res.edges
+    if args.mode == "histo":
+        return E.in_out_degree_histograms(raw)
+    if args.mode == "pagerank":
+        res = pagerank(und, max_iter=args.max_iter)
+        print(f"iterations: {res.iterations}, delta: {res.delta}", file=sys.stderr)
+        return res.ranks
+    if args.mode == "components":
+        return component_of_edges(und, connected_components(und))
+    if args.mode == "labelprop":
+        return label_propagation(und, max_iter=args.max_iter).labels
+    raise SystemExit(f"unknown mode: {args.mode}")
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="linkgraph", description=__doc__)
+    p.add_argument("mode")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--sep", default="TAB", help="TAB | SPACE | COMMA | literal")
+    p.add_argument("--partitions", type=int, default=0)
+    p.add_argument("--k", type=int, default=4)
+    p.add_argument("--max-iter", type=int, default=50)
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    spark = build_session("linkgraph-cli", master=args.master)
+    out = run(args, spark)
+    out.write.mode("overwrite").parquet(args.output)
+    print(f"wrote {args.output}", file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

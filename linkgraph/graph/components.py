@@ -94,9 +94,20 @@ def connected_components(
     ckpt = checkpointer or Checkpointer(spark)
     cur = edges.select("src", "dst")
     prev_sig = None
-    for step in range(max_rounds):
+    start = 0
+    # Resume mid-iteration from the last complete superstep: restoring
+    # prev_sig from the loaded table reproduces the exact loop state an
+    # uninterrupted run would have after that round.
+    latest = ckpt.latest()
+    if latest is not None:
+        cur, _manifest = ckpt.load(latest)
+        prev_sig = _signature(cur)
+        start = latest + 1
+    for step in range(start, max_rounds):
         cur = _small_star(_large_star(cur))
-        cur = ckpt.save(cur, step)
+        # lazy checkpoint + signature = ONE job per round (the signature
+        # aggregate materializes the checkpoint it reads).
+        cur = ckpt.save(cur, step, eager=False)
         sig = _signature(cur)
         if sig == prev_sig:
             break

@@ -15,12 +15,17 @@ keeping the argmax a hash aggregate instead of a Window sort at scale.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.checkpoint import Checkpointer
+
+# see pagerank._BROADCAST_STATE_LIMIT — same adaptive broadcast of the
+# per-vertex state into the adjacency join while it fits memory.
+_BROADCAST_LABELS_LIMIT = 5_000_000
 
 
 @dataclass
@@ -52,27 +57,46 @@ def label_propagation(
         .localCheckpoint(eager=True)
     )
 
+    n_vertices = labels.count()
+    small = n_vertices <= _BROADCAST_LABELS_LIMIT
+
+    # Resume mid-iteration from the last complete superstep.
+    start_it = 1
+    latest = ckpt.latest()
+    if latest is not None:
+        loaded, _manifest = ckpt.load(latest)
+        labels = loaded.select("id", "label")
+        start_it = latest + 1
+
     counters: list[dict] = []
     changed = -1
-    it = 0
-    for it in range(1, max_iter + 1):
-        nbr_labels = adj.join(
-            labels.withColumnRenamed("id", "dst"), "dst"
-        ).select(F.col("src").alias("id"), "label")
+    it = start_it - 1
+    for it in range(start_it, max_iter + 1):
+        t_step = time.time()
+        lab = labels.withColumnRenamed("id", "dst")
+        nbr_labels = adj.join(F.broadcast(lab) if small else lab, "dst").select(
+            F.col("src").alias("id"), "label"
+        )
         votes = nbr_labels.groupBy("id", "label").agg(F.count(F.lit(1)).alias("n"))
         # argmax by (n desc, label asc): max over struct(n, -label).
         winner = votes.groupBy("id").agg(
             F.max(F.struct(F.col("n"), (-F.col("label")).alias("neg"))).alias("w")
         ).select("id", (-F.col("w.neg")).alias("new_label"))
+        if small:
+            winner = F.broadcast(winner)
         merged = labels.join(winner, "id", "left_outer").select(
             "id",
             F.coalesce("new_label", "label").alias("label"),
             (F.coalesce("new_label", "label") != F.col("label")).alias("chg"),
         )
-        merged = ckpt.save(merged, it)
+        # lazy checkpoint + count = ONE job per superstep: the changed-
+        # vertex count materializes the checkpointed state it reads.
+        merged = ckpt.save(merged, it, eager=False)
         changed = merged.where("chg").count()
         labels = merged.select("id", "label")
-        counters.append({"iteration": it, "changed": changed})
+        counters.append(
+            {"iteration": it, "changed": changed, "wall_s": time.time() - t_step}
+        )
         if changed == 0:
             break
     return LPAResult(labels=labels, iterations=it, changed=changed, counters=counters)

@@ -24,12 +24,20 @@ ranks⋈edges join.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.checkpoint import Checkpointer
+
+# Broadcast the (id, rank, out_deg) state into the contribution join
+# while it plausibly fits executor memory (~24 B/row): the links table
+# then never shuffles and the probe map stays cache-resident. Past this
+# vertex count the plan falls back to a shuffled hash join — the only
+# option at 1e9-vertex scale.
+_BROADCAST_STATE_LIMIT = 5_000_000
 
 
 @dataclass
@@ -91,40 +99,65 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
 
-    # Undirected mode has no dangling vertices; skip the per-round scalar
-    # aggregate entirely so each superstep is one driver action.
+    # Dangling mass for round 1 comes from the uniform init (one cheap
+    # count); every later round's mass is folded into the SAME aggregate
+    # that computes the previous round's convergence delta, so a
+    # superstep costs exactly ONE driver action — with tol<=0 (fixed
+    # iteration count) even the delta aggregate is skipped and the
+    # checkpoint materialization itself is the round's only job. Per-job
+    # fixed cost is what caps scaling efficiency of cheap supersteps.
+    check_delta = tol > 0.0
     has_dangling = state.where(F.col("out_deg") == 0).limit(1).count() > 0
+    # uniform init: every dangling vertex holds rank 1/n
+    dangling = (
+        state.where(F.col("out_deg") == 0).count() / n if has_dangling else 0.0
+    )
+
+    small_state = n <= _BROADCAST_STATE_LIMIT
+
+    # Resume: with a durable checkpoint dir, pick up mid-iteration from
+    # the last complete superstep (manifest presence == complete). The
+    # dangling mass restarts from the loaded ranks, so the continuation
+    # is bit-identical to an uninterrupted run.
+    start_it = 1
+    latest = ckpt.latest()
+    if latest is not None:
+        loaded, _manifest = ckpt.load(latest)
+        state = loaded.select("id", "rank", "out_deg")
+        start_it = latest + 1
+        if has_dangling:
+            dangling = (
+                state.where(F.col("out_deg") == 0)
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .collect()[0][0]
+            )
 
     counters: list[dict] = []
     delta = float("inf")
-    it = 0
-    for it in range(1, max_iter + 1):
-        dangling = (
-            state.where(F.col("out_deg") == 0)
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
-            if has_dangling
-            else 0.0
-        )
+    it = start_it - 1
+    for it in range(start_it, max_iter + 1):
+        t_step = time.time()
+        probe = F.broadcast(state) if small_state else state
         contribs = (
-            links.join(state, links["src"] == state["id"])
+            links.join(probe, links["src"] == state["id"])
             .select("dst", (F.col("rank") / F.col("out_deg")).alias("w"))
             .groupBy("dst")
             .agg(F.sum("w").alias("contrib"))
         )
         base = (1.0 - damping) / n + damping * dangling / n
-        new_state = (
-            state.join(contribs, state["id"] == contribs["dst"], "left_outer")
-            .select(
-                "id",
-                (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias(
-                    "new_rank"
-                ),
-                "rank",
-                "out_deg",
-            )
+        if small_state:
+            contribs = F.broadcast(contribs)
+        new_state = state.join(
+            contribs, state["id"] == contribs["dst"], "left_outer"
+        ).select(
+            "id",
+            (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias(
+                "new_rank"
+            ),
+            "rank",
+            "out_deg",
         )
-        # One action: convergence delta; checkpoint cuts per-round lineage.
+        need_agg = check_delta or has_dangling
         new_state = ckpt.save(
             new_state.select(
                 "id",
@@ -133,11 +166,20 @@ def pagerank(
                 "out_deg",
             ),
             it,
+            eager=not need_agg,
         )
-        delta = new_state.agg(F.max(F.abs("d"))).collect()[0][0]
+        if need_agg:
+            row = new_state.agg(
+                F.max(F.abs("d")).alias("delta"),
+                F.sum(F.when(F.col("out_deg") == 0, F.col("rank"))).alias("dm"),
+            ).collect()[0]
+            delta = row["delta"]
+            dangling = (row["dm"] or 0.0) if has_dangling else 0.0
         state = new_state.select("id", "rank", "out_deg")
-        counters.append({"iteration": it, "max_delta": delta})
-        if delta < tol:
+        counters.append(
+            {"iteration": it, "max_delta": delta, "wall_s": time.time() - t_step}
+        )
+        if check_delta and delta < tol:
             break
     return PageRankResult(
         ranks=state.select("id", "rank"), iterations=it, delta=delta, counters=counters

@@ -59,14 +59,26 @@ def _oriented(edges: DataFrame) -> DataFrame:
     return oriented.where(F.col("lo_deg") > 1)
 
 
-def _close_wedges(wedges: DataFrame, oriented: DataFrame) -> DataFrame:
+_BROADCAST_EDGE_LIMIT = 20_000_000  # rows; 2 longs/row ~ 320MB serialized
+
+
+def _close_wedges(
+    wedges: DataFrame, oriented: DataFrame, n_edges: int | None = None
+) -> DataFrame:
     """Join wedges (a; b, c) with the oriented edge set on (b, c).
 
     b precedes c in (degree, id) order by construction, so the closing
     edge — if it exists — is oriented exactly (lo=b, hi=c). Output is
     id-canonical (a < b < c) regardless of degree order.
+
+    The wedge side is O(sum deg_out^2) >> the edge side, so when the
+    edge set is broadcastable we broadcast it explicitly and the wedge
+    blowup never shuffles; past _BROADCAST_EDGE_LIMIT the plan falls
+    back to a shuffled hash join (AQE splits residual skew).
     """
     closing = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    if n_edges is not None and n_edges <= _BROADCAST_EDGE_LIMIT:
+        closing = F.broadcast(closing)
     tri = wedges.join(closing, ["b", "c"])
     ordered = F.array_sort(F.array("a", "b", "c"))
     return tri.select(
@@ -76,11 +88,25 @@ def _close_wedges(wedges: DataFrame, oriented: DataFrame) -> DataFrame:
     )
 
 
+def _explode_parts(df: DataFrame) -> int:
+    """Partition count for explosive stages: 4x parallelism so the
+    wedge blowup spreads across every core with slack for imbalance."""
+    return df.sparkSession.sparkContext.defaultParallelism * 4
+
+
 def _wedges_sql(oriented: DataFrame) -> DataFrame:
     adj = oriented.groupBy("lo").agg(
         F.sort_array(F.collect_list(F.struct("hi_deg", "hi"))).alias("nbrs")
     )
-    return adj.where(F.size("nbrs") > 1).select(
+    # Explicit repartition before the pair explode: the adjacency table
+    # is tiny in BYTES (one row per vertex), so AQE's byte-based
+    # coalescing would funnel the O(sum deg_out^2) wedge blowup through
+    # a handful of tasks. An explicit numPartitions pins the fan-out
+    # width (AQE never coalesces a user repartition with an explicit
+    # count). Degree ordering bounds per-row work at O(2m), so hash
+    # placement over 4x-parallelism partitions is balanced.
+    adj = adj.where(F.size("nbrs") > 1).repartition(_explode_parts(adj), "lo")
+    return adj.select(
         F.col("lo").alias("a"), F.explode(F.expr(_PAIRS_EXPR)).alias("w")
     ).select("a", "w.b", "w.c")
 
@@ -167,7 +193,8 @@ def _csr_batch_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def _wedges_csr(oriented: DataFrame) -> DataFrame:
     csr = (
         oriented.select("lo", "hi", "hi_deg")
-        .repartition("lo")
+        # explicit count: see _wedges_sql on AQE byte-based coalescing
+        .repartition(_explode_parts(oriented), "lo")
         .sortWithinPartitions("lo", "hi_deg", "hi")
     )
     return csr.mapInPandas(_csr_batch_iter, schema=_WEDGE_SCHEMA)
@@ -181,9 +208,14 @@ def triangles(edges: DataFrame, strategy: str = "sql") -> DataFrame:
 
     Returns (a, b, c) with a < b < c, one row per triangle, exactly.
     """
-    oriented = _oriented(edges)
+    # One materialization: both the wedge kernel and the close join read
+    # the oriented table; without it the degree aggregation + two degree
+    # joins run twice. The count is ~free on the checkpointed data and
+    # drives the close-join broadcast decision.
+    oriented = _oriented(edges).localCheckpoint(eager=True)
+    n_edges = oriented.count()
     wedges = _WEDGE_KERNELS[strategy](oriented)
-    return _close_wedges(wedges, oriented)
+    return _close_wedges(wedges, oriented, n_edges)
 
 
 def triangle_count(edges: DataFrame, strategy: str = "sql") -> int:

@@ -78,20 +78,29 @@ def k_truss(
     # Algorithmic pre-filter (MaximalTruss.scala:28): an endpoint of a
     # k-truss edge has degree >= k-1; cheap degree prune before the
     # expensive triangle enumeration. Conservative variant deg > k-2.
-    if tri is None:
-        tri = triangles(edges)
-    tri = ckpt.save(tri, 0, {"stage": "triangles"})
-
     prev_count = -1
-    rounds = 0
+    start_round = 1
+    # Resume: each saved round's manifest records the alive-edge count
+    # that drove it, so the loop state restores exactly.
+    latest = ckpt.latest()
+    if latest is not None:
+        tri, manifest = ckpt.load(latest)
+        prev_count = manifest.get("counters", {}).get("alive_edges", -1)
+        start_round = latest + 1
+    elif tri is None:
+        tri = ckpt.save(triangles(edges), 0, {"stage": "triangles"})
+    else:
+        tri = ckpt.save(tri, 0, {"stage": "triangles"})
+
+    rounds = start_round - 1
     counters: list[dict] = []
     alive = None
-    for rounds in range(1, max_rounds + 1):
+    for rounds in range(start_round, max_rounds + 1):
         sup = edge_support(tri)
         alive = sup.where(F.col("support") >= thresh).select("src", "dst")
-        tri = _alive_triangles(tri, alive)
-        tri = ckpt.save(tri, rounds, {"stage": "peel"})
         n_alive = alive.count()
+        tri = _alive_triangles(tri, alive)
+        tri = ckpt.save(tri, rounds, {"stage": "peel", "alive_edges": n_alive})
         counters.append({"round": rounds, "alive_edges": n_alive})
         if n_alive == prev_count:
             break

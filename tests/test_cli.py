@@ -1,0 +1,55 @@
+"""CLI mode dispatch parity (reference GraphMiningSpark.scala:43-94)."""
+
+from __future__ import annotations
+
+import argparse
+
+import pytest
+
+from linkgraph.cli import run
+from tests.conftest import TRUSS_MINI
+
+
+@pytest.fixture(scope="module")
+def mini_txt(tmp_path_factory):
+    p = tmp_path_factory.mktemp("cli") / "trussMini.txt"
+    p.write_text("".join(f"{a}\t{b}\n" for a, b in TRUSS_MINI))
+    return str(p)
+
+
+def _args(mode, inp, **kw):
+    return argparse.Namespace(
+        mode=mode,
+        input=inp,
+        output="",
+        sep="TAB",
+        partitions=kw.get("partitions", 0),
+        k=kw.get("k", 4),
+        max_iter=kw.get("max_iter", 20),
+    )
+
+
+def test_triangle_modes_agree(spark, mini_txt):
+    counts = {
+        m: run(_args(m, mini_txt), spark).count()
+        for m in ("triangle", "triangleNoSpark", "trianglecsr")
+    }
+    assert set(counts.values()) == {22}
+
+
+def test_truss_mode(spark, mini_txt):
+    out = run(_args("truss", mini_txt, k=4), spark)
+    assert out.count() == 18
+    assert set(out.columns) == {"component", "src", "dst"}
+
+
+def test_maxtruss_mode(spark, mini_txt):
+    out = run(_args("maxtruss", mini_txt, k=3), spark)
+    assert out.count() == 18  # max-k = 4 -> the 4-truss edges
+
+
+def test_histo_and_pagerank_modes(spark, mini_txt):
+    histo = run(_args("histo", mini_txt), spark)
+    assert set(r["direction"] for r in histo.collect()) == {"in", "out", "total"}
+    pr = run(_args("pagerank", mini_txt), spark)
+    assert abs(sum(r["rank"] for r in pr.collect()) - 1.0) < 1e-6

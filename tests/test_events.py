@@ -1,0 +1,81 @@
+"""Event analytics: tumbling windows, sessionization, funnel; plus the
+Structured Streaming path (availableNow drain) agreeing with batch."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from linkgraph.events import event_type_funnel, sessionize, tumbling_window_counts
+
+T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+
+def ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, T0 + dt.timedelta(minutes=m), u, t, float(v), "{}")
+            for i, (m, u, t, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+
+
+def test_tumbling_window_counts(spark):
+    df = ev(spark, [(0, 1, "view", 1), (59, 1, "view", 2), (60, 2, "buy", 5), (130, 1, "view", 1)])
+    out = {
+        (r["window_start"].minute + 60 * r["window_start"].hour, r["event_type"]): (
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in tumbling_window_counts(df, minutes=60).collect()
+    }
+    assert out[(0, "view")] == (2, 3.0)
+    assert out[(60, "buy")] == (1, 5.0)
+    assert out[(120, "view")] == (1, 1.0)
+
+
+def test_sessionize_gap(spark):
+    df = ev(
+        spark,
+        [(0, 1, "a", 0), (10, 1, "a", 0), (70, 1, "a", 0), (75, 1, "a", 0), (0, 2, "a", 0)],
+    )
+    rows = {
+        (r["user_id"], r["session_id"]): r["n_events"]
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    assert rows == {(1, 1): 2, (1, 2): 2, (2, 1): 1}
+
+
+def test_funnel_order(spark):
+    df = ev(
+        spark,
+        [
+            (0, 1, "view", 0), (5, 1, "cart", 0), (9, 1, "buy", 0),   # full funnel
+            (0, 2, "view", 0), (5, 2, "cart", 0),                     # no buy
+            (5, 3, "cart", 0), (9, 3, "view", 0),                     # out of order
+        ],
+    )
+    out = {r["step"]: r["n_users"] for r in event_type_funnel(df, ["view", "cart", "buy"]).collect()}
+    assert out == {"view": 3, "cart": 2, "buy": 1}
+
+
+def test_streaming_agrees_with_batch(spark, tmp_path):
+    from linkgraph.streaming import run_available_now, stream_events, streaming_window_counts
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events_dir = str(tmp_path / "events_in")
+    src.repartition(6).write.parquet(events_dir)
+
+    streamed = streaming_window_counts(stream_events(spark, events_dir), minutes=60)
+    run_available_now(streamed, "win_counts", str(tmp_path / "ckpt"))
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.table("win_counts").collect()
+    }
+    batch = src.groupBy(F.window("ts", "60 minutes").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    want = {(r["w"]["start"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert got == want and len(want) > 0
