@@ -37,6 +37,7 @@ from linkgraph.graph import edges as E
 from linkgraph.graph.components import component_of_edges, connected_components
 from linkgraph.graph.labelprop import label_propagation
 from linkgraph.graph.pagerank import pagerank
+from linkgraph.graph.refformat import triangle_text, truss_text
 from linkgraph.graph.triangles import triangles
 from linkgraph.graph.truss import k_truss_components, max_truss
 from linkgraph.session import build_session
@@ -59,16 +60,22 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
     if args.partitions:
         und = und.repartition(args.partitions, "src")
 
+    text = getattr(args, "text", False)
+
     if args.mode == "bidirect":
         return E.reciprocal_edges(raw)
     if args.mode == "triangle":
-        return triangles(und, strategy="join")
+        tri = triangles(und, strategy="join")
+        return triangle_text(tri, und) if text else tri
     if args.mode == "triangleNoSpark":
-        return triangles(und, strategy="sql")
+        tri = triangles(und, strategy="sql")
+        return triangle_text(tri, und) if text else tri
     if args.mode == "trianglecsr":
-        return triangles(und, strategy="csr")
+        tri = triangles(und, strategy="csr")
+        return triangle_text(tri, und) if text else tri
     if args.mode == "truss":
-        return k_truss_components(und, args.k)
+        comp = k_truss_components(und, args.k)
+        return truss_text(comp, und) if text else comp
     if args.mode == "maxtruss":
         res = max_truss(und, k0=args.k)
         print(f"max-k: {res.k}; probes: {res.probes}", file=sys.stderr)
@@ -96,11 +103,19 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--k", type=int, default=4)
     p.add_argument("--max-iter", type=int, default=50)
     p.add_argument("--master", default=None)
+    p.add_argument(
+        "--text",
+        action="store_true",
+        help="reference-parity text output (truss/triangle modes)",
+    )
     args = p.parse_args(argv)
 
     spark = build_session("linkgraph-cli", master=args.master)
     out = run(args, spark)
-    out.write.mode("overwrite").parquet(args.output)
+    if getattr(args, "text", False) and out.columns == ["value"]:
+        out.write.mode("overwrite").text(args.output)
+    else:
+        out.write.mode("overwrite").parquet(args.output)
     print(f"wrote {args.output}", file=sys.stderr)
     spark.stop()
 
