@@ -1,0 +1,43 @@
+"""Regenerate the PLANS.md evidence: .explain("formatted") for the
+headline operators at sf0.01.
+
+Usage: PYTHONPATH=/root/repo python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+from linkgraph import datasets
+from linkgraph.graph.edges import degree_histogram
+from linkgraph.graph.triangles import triangles
+from linkgraph.session import build_session
+from linkgraph.text.analysis import token_stats
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = build_session("plan-audit", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print("=== A. co_purchase_edges (pushdown + pruning) ===")
+    datasets.co_purchase_edges(spark, sf, min_quantity=40).explain("formatted")
+
+    print("=== B. token_stats column pruning ===")
+    token_stats(datasets.load(spark, sf, "documents")).select(
+        "doc_id", "n_tokens_ws"
+    ).explain("formatted")
+
+    print("=== C. triangles (broadcast close, repartitioned explode) ===")
+    triangles(datasets.co_purchase_edges(spark, sf)).explain("formatted")
+
+    print("=== D. degree histogram (two-level partial agg) ===")
+    degree_histogram(datasets.co_purchase_edges(spark, sf)).explain("formatted")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
