@@ -20,6 +20,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from linkgraph.checkpoint import Checkpointer
 
@@ -45,10 +46,8 @@ def label_propagation(
     spark = edges.sparkSession
     ckpt = checkpointer or Checkpointer(spark, job="lpa")
 
-    adj = (
-        edges.select("src", "dst")
-        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .localCheckpoint(eager=True)
+    adj = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     labels = (
         adj.select(F.col("src").alias("id"))
@@ -56,9 +55,21 @@ def label_propagation(
         .select("id", F.col("id").alias("label"))
         .localCheckpoint(eager=True)
     )
-
     n_vertices = labels.count()
     small = n_vertices <= _BROADCAST_LABELS_LIMIT
+
+    # Loop-invariant adjacency: hash-partition ONCE by the key each
+    # superstep groups/joins on, then cache. The cached scan advertises
+    # its HashPartitioning to Catalyst (localCheckpoint under AQE does
+    # not — it reports UnknownPartitioning), so in broadcast mode every
+    # superstep runs with ZERO exchanges: broadcast join preserves the
+    # src partitioning, the (id,label) vote count and the per-id argmax
+    # both satisfy their required distribution in place. In shuffle mode
+    # (vertices > broadcast limit) we partition by dst instead so the
+    # labels join co-locates on the big side and only the vote
+    # aggregation shuffles.
+    part_key = "src" if small else "dst"
+    adj = adj.repartition(part_key).persist(StorageLevel.MEMORY_AND_DISK)
 
     # Resume mid-iteration from the last complete superstep.
     start_it = 1
@@ -99,4 +110,5 @@ def label_propagation(
         )
         if changed == 0:
             break
+    adj.unpersist()
     return LPAResult(labels=labels, iterations=it, changed=changed, counters=counters)

@@ -29,6 +29,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from linkgraph.checkpoint import Checkpointer
 
@@ -69,15 +70,39 @@ def pagerank(
         links = links.unionByName(
             links.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    links = links.localCheckpoint(eager=True)
 
-    vertices = (
-        links.select(F.col("src").alias("id"))
-        .unionByName(links.select(F.col("dst").alias("id")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    if directed:
+        vertices = (
+            links.select(F.col("src").alias("id"))
+            .unionByName(links.select(F.col("dst").alias("id")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n = vertices.count()
+    else:
+        # Undirected links are mirrored, so every vertex occurs as src:
+        # vertex set + out-degree + (absence of) dangling mass all come
+        # from ONE aggregation instead of three setup jobs.
+        deg_state = (
+            links.groupBy(F.col("src").alias("id"))
+            .agg(F.count(F.lit(1)).alias("out_deg"))
+            .localCheckpoint(eager=True)
+        )
+        n = deg_state.count()
+
+    # Loop-invariant links: hash-partition ONCE by the key each
+    # superstep needs co-location on, then cache (the cached scan
+    # advertises HashPartitioning to Catalyst; localCheckpoint under AQE
+    # reports UnknownPartitioning and forfeits exchange elimination).
+    # Broadcast mode (state fits memory): partition by dst — the state
+    # join is broadcast, so the contribution groupBy(dst) then runs with
+    # no exchange at all. Shuffle mode: partition by src so the
+    # state⋈links join co-locates on the big side; only the contribution
+    # aggregate shuffles.
+    small_state = n <= _BROADCAST_STATE_LIMIT
+    links = links.repartition("dst" if small_state else "src").persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    n = vertices.count()
     if n == 0:
         return PageRankResult(
             ranks=spark.createDataFrame([], "id long, rank double"),
@@ -85,19 +110,28 @@ def pagerank(
             delta=0.0,
         )
 
-    out_deg = links.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("out_deg")
-    )
     # (id, rank, out_deg); dangling vertices have out_deg null -> 0.
-    state = (
-        vertices.join(out_deg, "id", "left_outer")
-        .select(
-            "id",
-            F.lit(1.0 / n).alias("rank"),
-            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+    if directed:
+        out_deg = links.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("out_deg")
         )
-        .localCheckpoint(eager=True)
-    )
+        state = (
+            vertices.join(out_deg, "id", "left_outer")
+            .select(
+                "id",
+                F.lit(1.0 / n).alias("rank"),
+                F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        has_dangling = state.where(F.col("out_deg") == 0).limit(1).count() > 0
+    else:
+        # deg_state is already checkpointed; adding the uniform rank is a
+        # narrow projection, and mirrored links mean out_deg >= 1 always.
+        state = deg_state.select(
+            "id", F.lit(1.0 / n).alias("rank"), "out_deg"
+        )
+        has_dangling = False
 
     # Dangling mass for round 1 comes from the uniform init (one cheap
     # count); every later round's mass is folded into the SAME aggregate
@@ -107,13 +141,10 @@ def pagerank(
     # checkpoint materialization itself is the round's only job. Per-job
     # fixed cost is what caps scaling efficiency of cheap supersteps.
     check_delta = tol > 0.0
-    has_dangling = state.where(F.col("out_deg") == 0).limit(1).count() > 0
     # uniform init: every dangling vertex holds rank 1/n
     dangling = (
         state.where(F.col("out_deg") == 0).count() / n if has_dangling else 0.0
     )
-
-    small_state = n <= _BROADCAST_STATE_LIMIT
 
     # Resume: with a durable checkpoint dir, pick up mid-iteration from
     # the last complete superstep (manifest presence == complete). The
@@ -181,6 +212,7 @@ def pagerank(
         )
         if check_delta and delta < tol:
             break
+    links.unpersist()
     return PageRankResult(
         ranks=state.select("id", "rank"), iterations=it, delta=delta, counters=counters
     )
