@@ -127,6 +127,10 @@ def _q_degree_histogram(spark, sf):
 
 
 def _q_triangles(spark, sf):
+    return triangles(datasets.co_purchase_edges(spark, sf), strategy="join")
+
+
+def _q_triangles_sql(spark, sf):
     return triangles(datasets.co_purchase_edges(spark, sf), strategy="sql")
 
 
@@ -135,7 +139,7 @@ def _q_triangles_csr(spark, sf):
 
 
 def _q_triangle_count(spark, sf):
-    tri = triangles(datasets.co_purchase_edges(spark, sf), strategy="sql")
+    tri = triangles(datasets.co_purchase_edges(spark, sf))
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
@@ -281,6 +285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees": _q_degrees,
         "degree_histogram": _q_degree_histogram,
         "triangles": _q_triangles,
+        "triangles_sql": _q_triangles_sql,
         "triangles_csr": _q_triangles_csr,
         "triangle_count": _q_triangle_count,
         "edge_support": _q_edge_support,
@@ -378,6 +383,7 @@ FROM g
         ),
         "degree_histogram": f"WITH {_E_DENSE} {histo}",
         "triangles": f"WITH {_E_DENSE}, {_TRI} SELECT a, b, c FROM tri",
+        "triangles_sql": f"WITH {_E_DENSE}, {_TRI} SELECT a, b, c FROM tri",
         "triangles_csr": f"WITH {_E_DENSE}, {_TRI} SELECT a, b, c FROM tri",
         "triangle_count": (
             f"WITH {_E_DENSE}, {_TRI} SELECT count(*) AS n_triangles FROM tri"

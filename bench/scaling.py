@@ -78,7 +78,7 @@ def run_level(cores: int, edges_path: str) -> None:
     n_edges = edges.count()
 
     t0 = time.time()
-    n_tri = triangles(edges, strategy="sql").count()
+    n_tri = triangles(edges, strategy="join").count()
     t_tri = time.time() - t0
 
     pr = pagerank(edges, max_iter=PR_ITERS, tol=0.0)
