@@ -110,7 +110,13 @@ def minhash_near_duplicates(
     """
     assert n_hashes % n_bands == 0
     r = n_hashes // n_bands
-    signed = minhash_signatures(shingle_sets(df, col, id_col, shingle), n_hashes)
+    # Materialize once: the signature table feeds three consumers (the
+    # band explode and both sides of the verify join); without the cut,
+    # shingling + 32 hash passes per doc run three times. At cluster
+    # scale this is the natural stage checkpoint of the dedup pipeline.
+    signed = minhash_signatures(
+        shingle_sets(df, col, id_col, shingle), n_hashes
+    ).localCheckpoint(eager=True)
     cands = _candidate_pairs(signed, n_bands, r, max_bucket)
     sets = signed.select("id", "shingles")
     a = sets.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a")

@@ -36,8 +36,15 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for all pairs with exact Jaccard >= t."""
     sets = shingle_sets(df, col, id_col, shingle)
-    sizes = sets.select("id", F.size("shingles").alias("sz"))
-    postings = sets.select("id", F.explode("shingles").alias("g"))
+    # Materialize the inverted index once: it feeds both the bucket
+    # grouping and the per-doc set sizes (shingles are distinct per doc,
+    # so |A| = its posting count) — without the cut the shingling
+    # expression tree runs once per consumer. At cluster scale the
+    # posting list is the stage checkpoint of this pipeline.
+    postings = sets.select("id", F.explode("shingles").alias("g")).localCheckpoint(
+        eager=True
+    )
+    sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     grouped = (
         postings.groupBy("g")
         .agg(F.sort_array(F.collect_set("id")).alias("ids"))

@@ -36,6 +36,34 @@ def main() -> None:
     print("=== D. degree histogram (two-level partial agg) ===")
     degree_histogram(datasets.co_purchase_edges(spark, sf)).explain("formatted")
 
+    print("=== E. PageRank superstep (zero-exchange broadcast mode) ===")
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    edges = datasets.co_purchase_edges(spark, sf)
+    links = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    links = links.repartition("dst").persist(StorageLevel.MEMORY_AND_DISK)
+    links.count()
+    state = (
+        links.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .select("id", F.lit(0.001).alias("rank"), "out_deg")
+        .localCheckpoint(eager=True)
+    )
+    contribs = (
+        links.join(F.broadcast(state), links["src"] == state["id"])
+        .select("dst", (F.col("rank") / F.col("out_deg")).alias("w"))
+        .groupBy("dst")
+        .agg(F.sum("w").alias("contrib"))
+    )
+    new_state = state.join(
+        F.broadcast(contribs), state["id"] == contribs["dst"], "left_outer"
+    ).select("id", F.coalesce("contrib", F.lit(0.0)).alias("rank"), "out_deg")
+    new_state.explain("formatted")
+    links.unpersist()
+
     spark.stop()
 
 
