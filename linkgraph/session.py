@@ -49,7 +49,11 @@ def build_session(
         # checkpoint dir configurable for cluster reliable checkpoints.
         .config("spark.checkpoint.compress", "true")
         .config("spark.ui.enabled", os.environ.get("LINKGRAPH_UI", "false"))
-        .config("spark.driver.memory", os.environ.get("LINKGRAPH_DRIVER_MEM", "8g"))
+        # local[N] runs the whole "cluster" in the driver JVM: size its
+        # heap like an executor's (32 concurrent tasks share the
+        # execution-memory pool; 8g starves hash builds past ~10M-edge
+        # inputs on this 128 GiB box).
+        .config("spark.driver.memory", os.environ.get("LINKGRAPH_DRIVER_MEM", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
