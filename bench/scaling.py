@@ -65,10 +65,10 @@ per-node memory bandwidth, not by algorithmic serialization.
 
 Two observations support this reading of the numbers above:
 - Below the bandwidth wall the engine meets the target: PageRank's
-  2 -> 8 efficiency is >= 1.0 (its zero-exchange supersteps scale with
-  cores while per-core cache pressure at local[2] penalizes the
-  denominator), and triangle counting's 2 -> 8 sits at ~0.6-0.85
-  across reps.
+  2 -> 8 efficiency is 0.92-1.08 across full suite runs (its
+  zero-exchange supersteps scale with cores while per-core cache
+  pressure at local[2] penalizes the denominator), and triangle
+  counting's 2 -> 8 sits at ~0.5-0.85 across reps.
 - Between local[8] and local[32] *wall time barely moves* for the
   triangle job (the extra 24 threads add nothing once the memory
   controller saturates) — on a cluster those 24 threads would arrive
