@@ -6,5 +6,11 @@ from linkgraph.streaming.jobs import (
     streaming_window_counts,
     run_available_now,
 )
+from linkgraph.streaming.stateful import streaming_sessionize
 
-__all__ = ["stream_events", "streaming_window_counts", "run_available_now"]
+__all__ = [
+    "stream_events",
+    "streaming_window_counts",
+    "run_available_now",
+    "streaming_sessionize",
+]
