@@ -41,7 +41,8 @@ from linkgraph.graph import edges as E
 from linkgraph.graph.components import component_of_edges, connected_components
 from linkgraph.graph.labelprop import label_propagation
 from linkgraph.graph.pagerank import pagerank
-from linkgraph.graph.triangles import edge_support, triangles
+from linkgraph.graph.triangles import clustering_coefficient, edge_support, triangles
+from linkgraph.graph.truss import k_truss_components
 from linkgraph.graph.truss import k_truss, max_truss
 from linkgraph.multimodal.media import extract_features, synthetic_media
 from linkgraph.sim.ann import brute_force_topk, ivf_topk
@@ -78,6 +79,39 @@ tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
         JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
         JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
 """
+
+# k-truss peeling unrolled as a DuckDB recursive CTE: each round
+# recomputes triangles among surviving edges and keeps edges with
+# support >= k-2. The engine's peel (3-edges-alive incremental
+# semantics) differs mid-iteration but reaches the same unique maximal
+# fixpoint (SURVEY.md §7); both graphs converge in <= 3 rounds at
+# sf0.01 and rounds past the fixpoint are idempotent, so a fixed
+# recursion depth of 10 compares fixpoint-to-fixpoint.
+_PEEL_MAXIT = 10
+
+
+def _peel_cte(km2: str, maxit: int = _PEEL_MAXIT) -> str:
+    return f"""
+peel(it, src, dst) AS (
+  SELECT 0, src, dst FROM e
+  UNION ALL
+  SELECT * FROM (
+    WITH cur AS (SELECT src, dst FROM peel),
+    tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM cur e1
+            JOIN cur e2 ON e1.src = e2.src AND e1.dst < e2.dst
+            JOIN cur e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+    sup AS (SELECT src, dst, count(*) AS s FROM (
+              SELECT a AS src, b AS dst FROM tri
+              UNION ALL SELECT a, c FROM tri
+              UNION ALL SELECT b, c FROM tri) GROUP BY src, dst)
+    SELECT (SELECT max(it) FROM peel) + 1, src, dst
+    FROM sup WHERE s >= {km2}
+  ) t
+  WHERE (SELECT max(it) FROM peel) < {maxit}
+)
+"""
+
 
 _DOCS2 = """
 d2 AS (SELECT doc_id, text FROM documents
@@ -183,6 +217,17 @@ def _q_max_truss(spark, sf):
     res = max_truss(datasets.sparse_edges(spark, sf), k0=3)
     return res.edges.sparkSession.createDataFrame(
         [(res.k, res.edges.count())], "k_max int, n_edges long"
+    )
+
+
+def _q_ktruss_components(spark, sf):
+    return k_truss_components(datasets.co_purchase_edges(spark, sf, min_quantity=40), k=4)
+
+
+def _q_clustering(spark, sf):
+    cc = clustering_coefficient(datasets.co_purchase_edges(spark, sf))
+    return cc.select(
+        "id", "degree", "n_triangles", F.round("lcc", 6).alias("lcc")
     )
 
 
@@ -296,6 +341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "label_propagation": _q_lpa,
         "ktruss_4": _q_ktruss4,
+        "ktruss_components": _q_ktruss_components,
+        "clustering_coefficient": _q_clustering,
         "max_truss": _q_max_truss,
         "dedup_exact": _q_dedup_exact,
         "dedup_groups": _q_dedup_groups,
@@ -461,6 +508,64 @@ lp(it, id, label) AS (
     GROUP BY it, b.src, lp.label) WHERE rn = 1)
 SELECT id, label FROM lp WHERE it = 20
 """,
+        "ktruss_4": f"""
+WITH RECURSIVE {_E_TRUSS}, {_peel_cte('2')}
+SELECT src, dst FROM peel WHERE it = {_PEEL_MAXIT}
+""",
+        "ktruss_components": f"""
+WITH RECURSIVE {_E_TRUSS}, {_peel_cte('2')},
+fx AS (SELECT src, dst FROM peel WHERE it = {_PEEL_MAXIT}),
+bb AS (SELECT src, dst FROM fx UNION ALL SELECT dst AS src, src AS dst FROM fx),
+reach(id, r) AS (
+  SELECT src, src FROM bb
+  UNION
+  SELECT bb.dst, reach.r FROM bb JOIN reach ON reach.id = bb.src),
+lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+SELECT lab.label AS component, fx.src, fx.dst FROM fx JOIN lab ON lab.id = fx.src
+""",
+        "clustering_coefficient": f"""
+WITH {_E_DENSE}, {_TRI},
+tv AS (SELECT id, count(*) AS n FROM (
+         SELECT a AS id FROM tri
+         UNION ALL SELECT b FROM tri
+         UNION ALL SELECT c FROM tri) GROUP BY id),
+deg AS (SELECT id, count(*) AS degree FROM
+        (SELECT src AS id FROM e UNION ALL SELECT dst FROM e) GROUP BY id)
+SELECT deg.id, deg.degree, coalesce(tv.n, 0) AS n_triangles,
+       round(CASE WHEN deg.degree >= 2
+                  THEN 2.0 * coalesce(tv.n, 0) / (deg.degree * (deg.degree - 1.0))
+                  ELSE 0.0 END, 6) AS lcc
+FROM deg LEFT JOIN tv ON tv.id = deg.id
+""",
+        "max_truss": f"""
+WITH RECURSIVE
+ps AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       WHERE l_quantity >= 48),
+e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+      FROM ps a JOIN ps b ON a.ok = b.ok AND a.pk < b.pk),
+ks AS (SELECT unnest(range(3, 13)) AS k),
+peel(it, k, src, dst) AS (
+  SELECT 0, ks.k, e.src, e.dst FROM e CROSS JOIN ks
+  UNION ALL
+  SELECT * FROM (
+    WITH cur AS (SELECT k, src, dst FROM peel),
+    tri AS (SELECT e1.k, e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM cur e1
+            JOIN cur e2 ON e1.k = e2.k AND e1.src = e2.src AND e1.dst < e2.dst
+            JOIN cur e3 ON e3.k = e1.k AND e3.src = e1.dst AND e3.dst = e2.dst),
+    sup AS (SELECT k, src, dst, count(*) AS s FROM (
+              SELECT k, a AS src, b AS dst FROM tri
+              UNION ALL SELECT k, a, c FROM tri
+              UNION ALL SELECT k, b, c FROM tri) GROUP BY k, src, dst)
+    SELECT (SELECT max(it) FROM peel) + 1, k, src, dst
+    FROM sup WHERE s >= k - 2
+  ) t
+  WHERE (SELECT max(it) FROM peel) < {_PEEL_MAXIT}
+),
+fix AS (SELECT k, count(*) AS n FROM peel WHERE it = {_PEEL_MAXIT} GROUP BY k)
+SELECT CAST(k AS INT) AS k_max, CAST(n AS BIGINT) AS n_edges FROM fix
+WHERE k = (SELECT max(k) FROM fix)
+""",
         "dedup_exact": (
             f"WITH {_DOCS2} SELECT min(doc_id) AS doc_id FROM d2 GROUP BY md5(text)"
         ),
@@ -534,9 +639,7 @@ SELECT 'purchase', 2, count(*) FROM f
 WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
   AND t2 IS NOT NULL AND t2 >= t1
 """,
-        # no oracle (engine-hash- or index-structure-dependent,
-        # approximate-recall by design, or iterative beyond
-        # single-reference recursion): ktruss_4, max_truss,
-        # embedding_lsh, ivf_topk, minhash_pairs, simhash_pairs,
-        # ngram_jaccard, media_features.
+        # no oracle (engine-hash- or index-structure-dependent, or
+        # approximate-recall by design): embedding_lsh, ivf_topk,
+        # minhash_pairs, simhash_pairs, ngram_jaccard, media_features.
     }

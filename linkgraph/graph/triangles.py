@@ -248,6 +248,46 @@ def triangle_count(edges: DataFrame, strategy: str = "join") -> int:
     return triangles(edges, strategy).count()
 
 
+def vertex_triangle_count(tri: DataFrame) -> DataFrame:
+    """Triangles incident to each vertex: (id, n_triangles).
+
+    Explode each (a, b, c) triangle into its three vertices, then hash
+    aggregate — partial (map-side) combine keeps the shuffle at one row
+    per (vertex, partition), so the shuffle volume is O(V * P), not
+    O(3 * triangles). Vertices in no triangle are absent (join with
+    degrees to densify; ``clustering_coefficient`` does).
+    """
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def clustering_coefficient(edges: DataFrame, strategy: str = "join") -> DataFrame:
+    """Local clustering coefficient per vertex: (id, degree, n_triangles, lcc).
+
+    lcc = 2 * triangles(v) / (deg(v) * (deg(v) - 1)); vertices with
+    degree < 2 get 0.0. Built on the exact triangle kernel, so the cost
+    profile (degree-ordered wedges, O(sqrt(2m)) bound per vertex) is
+    identical to ``triangles`` plus one broadcast-friendly aggregation.
+    """
+    tri_per_v = vertex_triangle_count(triangles(edges, strategy))
+    deg = E.degrees(edges)
+    joined = deg.join(tri_per_v, "id", "left_outer").select(
+        "id",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+    )
+    return joined.withColumn(
+        "lcc",
+        F.when(
+            F.col("degree") >= 2,
+            2.0 * F.col("n_triangles") / (F.col("degree") * (F.col("degree") - 1)),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
 def edge_support(tri: DataFrame) -> DataFrame:
     """Per-edge triangle count (support): (src, dst, support).
 

@@ -8,7 +8,13 @@ import pytest
 
 from linkgraph.graph.edges import canonicalize
 from linkgraph.graph.triangles import edge_support, triangle_count, triangles
-from tests.conftest import complete_graph, gnp_graph, path_graph, star_graph
+from tests.conftest import (
+    complete_graph,
+    edge_df,
+    gnp_graph,
+    path_graph,
+    star_graph,
+)
 
 STRATEGIES = ["sql", "join", "csr"]
 
@@ -70,3 +76,43 @@ def test_edge_support_sums_to_3x_triangles(truss_mini):
     sup = edge_support(tri)
     total = sum(r["support"] for r in sup.collect())
     assert total == 3 * 22
+
+
+def test_clustering_coefficient_complete_graph(spark):
+    # K5: every vertex has lcc 1.0, degree 4, C(4,2)=6 triangles at v.
+    from linkgraph.graph.triangles import clustering_coefficient
+
+    g = canonicalize(complete_graph(spark, 5))
+    rows = {r["id"]: r for r in clustering_coefficient(g).collect()}
+    assert len(rows) == 5
+    for r in rows.values():
+        assert (r["degree"], r["n_triangles"], r["lcc"]) == (4, 6, 1.0)
+
+
+def test_clustering_coefficient_vs_bruteforce(spark):
+    from linkgraph.graph.triangles import clustering_coefficient
+
+    import random
+
+    rng = random.Random(7)
+    pairs = [
+        (i, j) for i in range(60) for j in range(i + 1, 60) if rng.random() < 0.15
+    ]
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {}
+    for v, nb in adj.items():
+        d = len(nb)
+        t = sum(len(adj[x] & nb) for x in nb) // 2
+        expect[v] = (d, t, 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0)
+    g = canonicalize(edge_df(spark, pairs))
+    got = {
+        r["id"]: (r["degree"], r["n_triangles"], r["lcc"])
+        for r in clustering_coefficient(g).collect()
+    }
+    assert set(got) == set(expect)
+    for v in expect:
+        assert got[v][:2] == expect[v][:2]
+        assert math.isclose(got[v][2], expect[v][2], abs_tol=1e-12)
