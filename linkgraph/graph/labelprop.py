@@ -56,7 +56,9 @@ def label_propagation(
         .localCheckpoint(eager=True)
     )
     n_vertices = labels.count()
-    small = n_vertices <= _BROADCAST_LABELS_LIMIT
+    from linkgraph.graph.partitioning import broadcast_state_ok
+
+    small = broadcast_state_ok(spark, n_vertices, _BROADCAST_LABELS_LIMIT)
 
     # Loop-invariant adjacency: hash-partition ONCE by the key each
     # superstep groups/joins on, then cache. The cached scan advertises

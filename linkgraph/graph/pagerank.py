@@ -35,9 +35,12 @@ from linkgraph.checkpoint import Checkpointer
 
 # Broadcast the (id, rank, out_deg) state into the contribution join
 # while it plausibly fits executor memory (~24 B/row): the links table
-# then never shuffles and the probe map stays cache-resident. Past this
-# vertex count the plan falls back to a shuffled hash join — the only
-# option at 1e9-vertex scale.
+# then never shuffles and the probe map stays cache-resident. Whether
+# broadcasting actually pays also depends on cluster shape — see
+# partitioning.broadcast_state_ok (single-JVM local mode only; on real
+# executors the per-superstep broadcast rebuild scales with cluster
+# size). Past this vertex count the plan always falls back to a
+# shuffled hash join — the only option at 1e9-vertex scale.
 _BROADCAST_STATE_LIMIT = 5_000_000
 
 
@@ -99,7 +102,9 @@ def pagerank(
     # no exchange at all. Shuffle mode: partition by src so the
     # state⋈links join co-locates on the big side; only the contribution
     # aggregate shuffles.
-    small_state = n <= _BROADCAST_STATE_LIMIT
+    from linkgraph.graph.partitioning import broadcast_state_ok
+
+    small_state = broadcast_state_ok(spark, n, _BROADCAST_STATE_LIMIT)
     links = links.repartition("dst" if small_state else "src").persist(
         StorageLevel.MEMORY_AND_DISK
     )
