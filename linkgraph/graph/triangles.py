@@ -44,13 +44,25 @@ from linkgraph.graph import edges as E
 
 _WEDGE_SCHEMA = "a long, b long, c long"
 
-# Combination pairs (i<j) from the per-vertex sorted adjacency array,
-# entirely as Catalyst expressions (no Python in the hot path).
-_PAIRS_EXPR = (
-    "flatten(transform(nbrs, (x, i) -> "
-    "transform(slice(nbrs, i + 2, size(nbrs)), "
-    "y -> struct(x.hi as b, y.hi as c))))"
-)
+# Row-splitting salt for the sql kernel's pair explode: outer indices of
+# one vertex's adjacency are processed in blocks of this size, so a
+# vertex near the degree-ordering bound sqrt(2m) no longer emits its
+# whole O(c^2) pair block from ONE row in one task — per-block work is
+# capped at ~_SALT_BLOCK * c pairs and the (lo, blk) repartition spreads
+# a hub's blocks across tasks. Pairs partition cleanly by outer index,
+# so the split is dedup-free. The duplicated nbrs array costs c/B extra
+# copies, i.e. ~2/B of the pair volume — negligible at B=512.
+_SALT_BLOCK = 512
+
+
+def _pairs_expr(block: int) -> str:
+    """Combination pairs (i<j) for outer indices in salted block `blk`,
+    entirely as Catalyst expressions (no Python in the hot path)."""
+    return (
+        f"flatten(transform(slice(nbrs, blk * {block} + 1, {block}), (x, i) -> "
+        f"transform(slice(nbrs, blk * {block} + i + 2, size(nbrs)), "
+        "y -> struct(x.hi as b, y.hi as c))))"
+    )
 
 
 def _oriented(edges: DataFrame) -> DataFrame:
@@ -104,20 +116,32 @@ def _explode_parts(df: DataFrame) -> int:
     return df.sparkSession.sparkContext.defaultParallelism * 4
 
 
-def _wedges_sql(oriented: DataFrame) -> DataFrame:
+def _wedges_sql(oriented: DataFrame, block: int | None = None) -> DataFrame:
+    block = block or _SALT_BLOCK
     adj = oriented.groupBy("lo").agg(
         F.sort_array(F.collect_list(F.struct("hi_deg", "hi"))).alias("nbrs")
     )
+    # One row per (vertex, outer-index block): see _SALT_BLOCK. Block
+    # count = ceil((size - 1) / block); outer index i only ranges to
+    # size - 2 (the last neighbor has no partner).
+    adj = adj.where(F.size("nbrs") > 1).select(
+        "lo",
+        "nbrs",
+        F.explode(
+            F.expr(f"sequence(0, int(floor((size(nbrs) - 2) / {block})))")
+        ).alias("blk"),
+    )
     # Explicit repartition before the pair explode: the adjacency table
-    # is tiny in BYTES (one row per vertex), so AQE's byte-based
+    # is tiny in BYTES (one row per vertex-block), so AQE's byte-based
     # coalescing would funnel the O(sum deg_out^2) wedge blowup through
     # a handful of tasks. An explicit numPartitions pins the fan-out
     # width (AQE never coalesces a user repartition with an explicit
-    # count). Degree ordering bounds per-row work at O(2m), so hash
-    # placement over 4x-parallelism partitions is balanced.
-    adj = adj.where(F.size("nbrs") > 1).repartition(_explode_parts(adj), "lo")
+    # count). Degree ordering + the block salt bound per-row work at
+    # O(block * sqrt(2m)) pairs, so hash placement over 4x-parallelism
+    # partitions is balanced.
+    adj = adj.repartition(_explode_parts(adj), "lo", "blk")
     return adj.select(
-        F.col("lo").alias("a"), F.explode(F.expr(_PAIRS_EXPR)).alias("w")
+        F.col("lo").alias("a"), F.explode(F.expr(_pairs_expr(block))).alias("w")
     ).select("a", "w.b", "w.c")
 
 

@@ -116,3 +116,17 @@ def test_clustering_coefficient_vs_bruteforce(spark):
     for v in expect:
         assert got[v][:2] == expect[v][:2]
         assert math.isclose(got[v][2], expect[v][2], abs_tol=1e-12)
+
+
+@pytest.mark.parametrize("block", [1, 2, 3])
+def test_sql_kernel_salt_blocks(spark, block):
+    """Tiny salt blocks force multi-block pair generation per vertex;
+    enumeration must stay exact and duplicate-free (K8: every vertex's
+    adjacency spans several blocks at block<=3)."""
+    from linkgraph.graph.triangles import _close_wedges, _oriented, _wedges_sql
+
+    edges = canonicalize(complete_graph(spark, 8))
+    oriented = _oriented(edges)
+    tri = _close_wedges(_wedges_sql(oriented, block=block), oriented)
+    rows = [(r["a"], r["b"], r["c"]) for r in tri.collect()]
+    assert len(rows) == len(set(rows)) == math.comb(8, 3)
