@@ -151,9 +151,14 @@ def run_level(mode: str, edges_path: str) -> None:
     if n_exec:
         # Constant per-executor resources (8 cores / 16g), the honest
         # cluster analogy: scaling out adds machines, not bigger ones.
+        # Generous liveness timeouts: this shared sandbox shows
+        # minute-scale host stalls that trip the default 120s executor
+        # heartbeat deadline and kill the run mid-stage.
         extra = {
             "spark.executor.memory": "16g",
             "spark.submit.pyFiles": PYFILES_ZIP,
+            "spark.network.timeout": "600s",
+            "spark.executor.heartbeatInterval": "60s",
         }
     spark = build_session(
         f"scaling-{mode}", master=master, shuffle_partitions=cores, extra_conf=extra
@@ -239,23 +244,33 @@ def main() -> None:
             want = LC_REPS if mode.startswith("lc:") else REPS
             if rep >= want:
                 continue
+            cmd = [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--level",
+                mode,
+                EDGES_PATH,
+            ]
             out = subprocess.run(
-                [
-                    sys.executable,
-                    os.path.abspath(__file__),
-                    "--level",
-                    mode,
-                    EDGES_PATH,
-                ],
+                cmd,
                 capture_output=True,
                 text=True,
                 env={**os.environ, "PYTHONPATH": REPO},
-                check=True,
             )
-            line = [
+            lines = [
                 l for l in out.stdout.splitlines() if l.startswith("LEVELJSON ")
-            ][-1]
-            rec = json.loads(line[len("LEVELJSON "):])
+            ]
+            if out.returncode != 0 or not lines:
+                # A host stall can still kill a level (executor lost
+                # past even the raised timeouts). Drop the rep, keep
+                # the suite: medians over surviving reps still stand.
+                print(
+                    f"rep {rep} {mode}: FAILED rc={out.returncode}\n"
+                    + out.stderr[-2000:],
+                    file=sys.stderr,
+                )
+                continue
+            rec = json.loads(lines[-1][len("LEVELJSON "):])
             runs[mode].append(rec)
             print(f"rep {rep} {mode}: {rec}", file=sys.stderr)
 

@@ -16,6 +16,12 @@ Two modes:
   lineage but is not resumable across processes).
 - ``dir=path``  -> parquet + manifest per superstep (cluster mode; the
   parquet write is the shuffle barrier that cuts lineage).
+
+When the session has an Iceberg catalog configured (see
+``linkgraph.catalog``), pass ``catalog=iceberg_catalog(spark)`` and the
+per-superstep data lands as an Iceberg table (atomic snapshot commit)
+instead of a raw parquet directory; the JSON manifest is still written
+as the resume/counters record.
 """
 
 from __future__ import annotations
@@ -38,6 +44,7 @@ class Checkpointer:
     dir: str | None = None
     job: str = "job"
     every: int = 1  # checkpoint every N supersteps (cluster cost knob)
+    catalog: str | None = None  # Iceberg catalog name (linkgraph.catalog)
     history: list[dict] = field(default_factory=list)
 
     def _step_dir(self, step: int) -> str:
@@ -68,18 +75,29 @@ class Checkpointer:
             self.history.append({"superstep": step, "counters": counters, "mode": "local"})
             return out
         path = self._step_dir(step)
-        data = os.path.join(path, "data")
-        df.write.mode("overwrite").parquet(data)
-        out = self.spark.read.parquet(data)
-        files = sorted(
-            f for f in os.listdir(data) if f.endswith(".parquet")
-        ) if os.path.isdir(data) else []
+        if self.catalog:
+            from linkgraph.catalog import read_table, write_table
+
+            ident = write_table(
+                df, f"{self.job}_superstep_{step:05d}", path, catalog=self.catalog
+            )
+            out = read_table(self.spark, ident)
+            os.makedirs(path, exist_ok=True)
+            files, data = [], ident
+        else:
+            data = os.path.join(path, "data")
+            df.write.mode("overwrite").parquet(data)
+            out = self.spark.read.parquet(data)
+            files = sorted(
+                f for f in os.listdir(data) if f.endswith(".parquet")
+            ) if os.path.isdir(data) else []
         manifest = {
             "job": self.job,
             "superstep": step,
             "ts": time.time(),
             "rows": out.count(),
             "counters": counters,
+            "table": data if self.catalog else None,
             "partitions": [
                 {"file": f, "bytes": os.path.getsize(os.path.join(data, f))}
                 for f in files
@@ -109,4 +127,8 @@ class Checkpointer:
         path = self._step_dir(step)
         with open(os.path.join(path, MANIFEST)) as fh:
             manifest = json.load(fh)
+        if manifest.get("table"):
+            from linkgraph.catalog import read_table
+
+            return read_table(self.spark, manifest["table"]), manifest
         return self.spark.read.parquet(os.path.join(path, "data")), manifest
