@@ -273,7 +273,18 @@ def main() -> None:
             rec = json.loads(lines[-1][len("LEVELJSON "):])
             runs[mode].append(rec)
             print(f"rep {rep} {mode}: {rec}", file=sys.stderr)
+        # Incremental report: medians-so-far after every completed rep,
+        # so a killed suite still leaves a consistent BENCH/BASELINE.md.
+        if all(runs[m] for m in MODES):
+            try:
+                write_report(runs)
+            except Exception as e:  # report is best-effort mid-suite
+                print(f"rep {rep}: report write failed: {e}", file=sys.stderr)
 
+    write_report(runs)
+
+
+def write_report(runs: dict[str, list[dict]]) -> None:
     med = {
         m: {
             **runs[m][0],
@@ -281,7 +292,7 @@ def main() -> None:
             "pr_loop_sec": statistics.median(r["pr_loop_sec"] for r in runs[m]),
         }
         for m in MODES
-        if runs[m]
+        if runs.get(m)
     }
     tput = {m: _throughputs(med[m]) for m in med}
 
