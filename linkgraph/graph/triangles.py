@@ -84,6 +84,16 @@ _BROADCAST_EDGE_LIMIT = 20_000_000  # rows; 2 longs/row ~ 320MB serialized
 _SHJ_BUILD_ROWS_LIMIT = 1_000_000
 
 
+def _shj_safe(spark, n_edges: int | None) -> bool:
+    """True when a forced (non-spillable) shuffled hash build over the
+    oriented edge table is memory-safe: expected rows per shuffle
+    partition under _SHJ_BUILD_ROWS_LIMIT."""
+    if n_edges is None:
+        return False
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return n_edges / max(parts, 1) <= _SHJ_BUILD_ROWS_LIMIT
+
+
 def _close_wedges(
     wedges: DataFrame, oriented: DataFrame, n_edges: int | None = None
 ) -> DataFrame:
@@ -95,12 +105,19 @@ def _close_wedges(
 
     The wedge side is O(sum deg_out^2) >> the edge side, so when the
     edge set is broadcastable we broadcast it explicitly and the wedge
-    blowup never shuffles; past _BROADCAST_EDGE_LIMIT the plan falls
-    back to a shuffled hash join (AQE splits residual skew).
+    blowup never shuffles. Past _BROADCAST_EDGE_LIMIT the build side is
+    still just the edge table, so a shuffled hash join (skipping the
+    sort of the huge wedge side) beats SortMergeJoin — measured 47 s vs
+    75 s best-of-reps on the 9.3M-edge graph at local[32] with the
+    broadcast disabled. Like the wedge self-join, the forced hash build
+    cannot spill, so the hint is gated on per-partition build rows;
+    otherwise the plan stays a spillable SMJ (AQE splits residual skew).
     """
     closing = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
     if n_edges is not None and n_edges <= _BROADCAST_EDGE_LIMIT:
         closing = F.broadcast(closing)
+    elif _shj_safe(oriented.sparkSession, n_edges):
+        closing = closing.hint("shuffle_hash")
     tri = wedges.join(closing, ["b", "c"])
     ordered = F.array_sort(F.array("a", "b", "c"))
     return tri.select(
@@ -154,11 +171,8 @@ def _wedges_join(oriented: DataFrame, n_edges: int | None = None) -> DataFrame:
     # cannot spill — so only hint when the expected per-partition build
     # (rows/partition) is comfortably small; otherwise fall back to the
     # robust, spillable SortMergeJoin.
-    spark = oriented.sparkSession
-    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    safe = n_edges is not None and n_edges / max(parts, 1) <= _SHJ_BUILD_ROWS_LIMIT
     x, y = oriented.alias("x"), oriented.alias("y")
-    if safe:
+    if _shj_safe(oriented.sparkSession, n_edges):
         y = y.hint("shuffle_hash")
     return (
         x.join(y, "lo")

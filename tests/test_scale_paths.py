@@ -52,7 +52,14 @@ def test_lpa_shuffle_mode_matches_broadcast(spark, graph, monkeypatch):
 
 def test_triangle_close_shuffle_mode_matches_broadcast(spark, graph, monkeypatch):
     want = sorted(map(tuple, tri_mod.triangles(graph).collect()))
+    # Past the broadcast limit but under the SHJ build gate: the close
+    # join takes the forced shuffle_hash path.
     monkeypatch.setattr(tri_mod, "_BROADCAST_EDGE_LIMIT", 0)
+    for strategy in ("join", "sql", "csr"):
+        got = sorted(map(tuple, tri_mod.triangles(graph, strategy=strategy).collect()))
+        assert got == want and len(got) == 22
+    # Past BOTH gates: spillable SortMergeJoin fallback (wedge + close).
+    monkeypatch.setattr(tri_mod, "_SHJ_BUILD_ROWS_LIMIT", 0)
     for strategy in ("join", "sql", "csr"):
         got = sorted(map(tuple, tri_mod.triangles(graph, strategy=strategy).collect()))
         assert got == want and len(got) == 22
