@@ -36,15 +36,25 @@ from linkgraph.graph.components import component_of_edges, connected_components
 from linkgraph.graph.triangles import edge_support, triangles
 
 
-def _alive_triangles(tri: DataFrame, alive: DataFrame) -> DataFrame:
-    """Triangles whose three edges (a,b),(a,c),(b,c) all survive."""
-    ab = alive.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    ac = alive.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    bc = alive.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+def _alive_triangles(tri: DataFrame, dead: DataFrame) -> DataFrame:
+    """Triangles none of whose edges (a,b),(a,c),(b,c) just died.
+
+    Anti-join against the DEAD edge set rather than semi-join against
+    the alive set: every edge of every triangle in ``tri`` appears in
+    the support table by construction, and after the first round the
+    per-round dead set is tiny (the peel converges), so AQE turns all
+    three anti-joins into broadcast anti-joins — the triangle table
+    streams through without shuffling. The semi-join formulation
+    shuffled the full triangle table on three different keys every
+    round because the alive side stays large.
+    """
+    ab = dead.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    ac = dead.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    bc = dead.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     return (
-        tri.join(ab, ["a", "b"], "left_semi")
-        .join(ac, ["a", "c"], "left_semi")
-        .join(bc, ["b", "c"], "left_semi")
+        tri.join(ab, ["a", "b"], "left_anti")
+        .join(ac, ["a", "c"], "left_anti")
+        .join(bc, ["b", "c"], "left_anti")
     )
 
 
@@ -96,11 +106,16 @@ def k_truss(
     counters: list[dict] = []
     alive = None
     for rounds in range(start_round, max_rounds + 1):
-        sup = edge_support(tri)
+        # One support aggregation per round, consumed twice (alive-count
+        # action + dead-edge filter inside the checkpoint write) — persist
+        # so the explode+groupBy runs once.
+        sup = edge_support(tri).persist()
         alive = sup.where(F.col("support") >= thresh).select("src", "dst")
         n_alive = alive.count()
-        tri = _alive_triangles(tri, alive)
+        dead = sup.where(F.col("support") < thresh).select("src", "dst")
+        tri = _alive_triangles(tri, dead)
         tri = ckpt.save(tri, rounds, {"stage": "peel", "alive_edges": n_alive})
+        sup.unpersist()
         counters.append({"round": rounds, "alive_edges": n_alive})
         if n_alive == prev_count:
             break
