@@ -108,14 +108,15 @@ executors, but on this shared sandbox its measurements carry two
 artifacts that only ever LOWER the reported efficiency:
 
 - **Minute-scale host stalls.** Identical lc:4 runs (same code, same
-  input, nothing else running) returned triangle walls of 857 / 300 /
-  115 s — a 7.5x spread a deterministic plan cannot produce; one run's
-  per-superstep walls read [107.2, 12.8, 5.7, 6.8, 3.7, ...] — a
-  ~100 s stall adjacent to 4-second supersteps. An lc:4 run earlier the
-  same day, measured while a full pytest suite competed for the box,
-  finished its PageRank loop in 14.1 s — faster than every later "idle"
-  run. The best-of-reps estimator bounds capability from below but
-  cannot recover what the host never delivered.
+  input, nothing else running) returned triangle walls of 857 / 414 /
+  320 / 300 / 280 / 115 / 105 s across two suite executions — an 8x
+  spread a deterministic plan cannot produce; one run's per-superstep
+  walls read [107.2, 12.8, 5.7, 6.8, 3.7, ...] — a ~100 s stall
+  adjacent to 4-second supersteps. In the same suite run the lc:4
+  PageRank loop twice landed at ~14.0 s with steady supersteps of
+  1.4-1.8 s while its own triangle phase minutes earlier took 320 s.
+  The best-of-reps estimator bounds capability from below but cannot
+  recover what the host never delivered.
 - **Strong-scaling constants at toy size.** At 9.3M edges one PageRank
   superstep is under 1 s of actual compute at 32 cores (thread-mode
   local[32]: 0.83-0.95 s steady-state). Executor mode adds per-superstep
@@ -373,7 +374,8 @@ Two modes on the 32-core sandbox — **executor mode**
 package shipped via spark.submit.pyFiles = the spark-submit --py-files
 deployment shape; n=1 vs n=4 IS N vs 4N executors) and **thread mode**
 (`local[N]`, one shared JVM). Each level is a fresh subprocess; levels
-interleaved over {REPS} repetitions ({LC_REPS} for executor mode); the
+interleaved over repetitions, possibly accumulated across several suite
+executions ({min(len(v) for v in runs.values() if v)}-{max(len(v) for v in runs.values() if v)} reps per level here); the
 per-level BEST of reps is reported (host stalls on this shared sandbox
 inflate individual runs 3-10x; a stall can slow a run, nothing can speed
 one up — raw per-rep JSON below shows the dispersion). Input: repo-dependency import-edge graph derived from the
