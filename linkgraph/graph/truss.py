@@ -35,19 +35,34 @@ from linkgraph.checkpoint import Checkpointer
 from linkgraph.graph.components import component_of_edges, connected_components
 from linkgraph.graph.triangles import edge_support, triangles
 
+# Same shape/limit rationale as triangles._BROADCAST_EDGE_LIMIT: a
+# (src, dst) long-pair relation broadcasts safely up to ~20M rows.
+_BROADCAST_DEAD_LIMIT = 20_000_000
 
-def _alive_triangles(tri: DataFrame, dead: DataFrame) -> DataFrame:
+
+def _alive_triangles(
+    tri: DataFrame, dead: DataFrame, n_dead: int | None = None
+) -> DataFrame:
     """Triangles none of whose edges (a,b),(a,c),(b,c) just died.
 
     Anti-join against the DEAD edge set rather than semi-join against
     the alive set: every edge of every triangle in ``tri`` appears in
     the support table by construction, and after the first round the
-    per-round dead set is tiny (the peel converges), so AQE turns all
-    three anti-joins into broadcast anti-joins — the triangle table
-    streams through without shuffling. The semi-join formulation
-    shuffled the full triangle table on three different keys every
-    round because the alive side stays large.
+    per-round dead set is tiny (the peel converges), so the three
+    anti-joins broadcast the dead side and the triangle table streams
+    through without shuffling. The semi-join formulation shuffled the
+    full triangle table on three different keys every round because
+    the alive side stays large.
+
+    The broadcast must be EXPLICIT (gated on the dead count the caller
+    already has): the dead side comes out of the cached support
+    aggregate already hash-partitioned on the join keys, so no shuffle
+    stage exists there and AQE never sees runtime stats that would let
+    it convert the SortMergeJoin on its own (verified empirically —
+    a 1.7k-row dead side still planned as SMJ without the hint).
     """
+    if n_dead is not None and n_dead <= _BROADCAST_DEAD_LIMIT:
+        dead = F.broadcast(dead)
     ab = dead.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     ac = dead.select(F.col("src").alias("a"), F.col("dst").alias("c"))
     bc = dead.select(F.col("src").alias("b"), F.col("dst").alias("c"))
@@ -106,14 +121,21 @@ def k_truss(
     counters: list[dict] = []
     alive = None
     for rounds in range(start_round, max_rounds + 1):
-        # One support aggregation per round, consumed twice (alive-count
+        # One support aggregation per round, consumed twice (count
         # action + dead-edge filter inside the checkpoint write) — persist
-        # so the explode+groupBy runs once.
+        # so the explode+groupBy runs once. Alive and dead counts come
+        # from a single action; n_dead gates the explicit broadcast of
+        # the dead side in the anti-joins.
         sup = edge_support(tri).persist()
-        alive = sup.where(F.col("support") >= thresh).select("src", "dst")
-        n_alive = alive.count()
-        dead = sup.where(F.col("support") < thresh).select("src", "dst")
-        tri = _alive_triangles(tri, dead)
+        ok = F.col("support") >= thresh
+        row = sup.agg(
+            F.count(F.when(ok, 1)).alias("alive"),
+            F.count(F.when(~ok, 1)).alias("dead"),
+        ).collect()[0]
+        n_alive, n_dead = row["alive"], row["dead"]
+        alive = sup.where(ok).select("src", "dst")
+        dead = sup.where(~ok).select("src", "dst")
+        tri = _alive_triangles(tri, dead, n_dead)
         tri = ckpt.save(tri, rounds, {"stage": "peel", "alive_edges": n_alive})
         sup.unpersist()
         counters.append({"round": rounds, "alive_edges": n_alive})
