@@ -15,9 +15,10 @@ Crucial parity detail (SURVEY.md §7): support is recounted from
 not from pairwise adjacency — these differ mid-iteration.
 
 Spark-first changes vs the reference:
-- the reference's 3 cascaded re-joins per round become 3 left-semi joins
-  against the alive-edge set (no payload duplication, Catalyst plans
-  them as shuffled hash joins with the alive side broadcast when small).
+- the reference's 3 cascaded re-joins per round become 3 semi- or
+  anti-joins against whichever of the alive/dead edge sets is smaller
+  this round, explicitly broadcast when it fits (no payload
+  duplication; the triangle table streams through exchange-free).
 - each round's triangle table is checkpointed (persist-only in the
   reference ==> unbounded lineage, its known scalability cliff).
 - one driver action per round (the fixpoint count), matching the
@@ -37,39 +38,49 @@ from linkgraph.graph.triangles import edge_support, triangles
 
 # Same shape/limit rationale as triangles._BROADCAST_EDGE_LIMIT: a
 # (src, dst) long-pair relation broadcasts safely up to ~20M rows.
-_BROADCAST_DEAD_LIMIT = 20_000_000
+_BROADCAST_SUPPORT_LIMIT = 20_000_000
 
 
 def _alive_triangles(
-    tri: DataFrame, dead: DataFrame, n_dead: int | None = None
+    tri: DataFrame,
+    alive: DataFrame,
+    dead: DataFrame,
+    n_alive: int | None = None,
+    n_dead: int | None = None,
 ) -> DataFrame:
-    """Triangles none of whose edges (a,b),(a,c),(b,c) just died.
+    """Triangles whose three edges (a,b),(a,c),(b,c) all survive.
 
-    Anti-join against the DEAD edge set rather than semi-join against
-    the alive set: every edge of every triangle in ``tri`` appears in
-    the support table by construction, and after the first round the
-    per-round dead set is tiny (the peel converges), so the three
-    anti-joins broadcast the dead side and the triangle table streams
-    through without shuffling. The semi-join formulation shuffled the
-    full triangle table on three different keys every round because
-    the alive side stays large.
+    Every edge of every triangle in ``tri`` appears in the round's
+    support table by construction, so "all three edges alive" ==
+    "no edge dead" — keeping triangles via three SEMI-joins against
+    the alive set and dropping them via three ANTI-joins against the
+    dead set are exactly equivalent. Which is cheaper depends on the
+    peel's regime this round: a converging trim has dead ≪ alive
+    (anti-join wins), a catastrophic collapse has alive ≪ dead
+    (semi-join wins). The caller supplies both counts (it already
+    computed them in one aggregate), so each round joins against the
+    SMALLER side and broadcasts it when it fits — the O(big) triangle
+    table then streams through all three joins without an exchange.
 
-    The broadcast must be EXPLICIT (gated on the dead count the caller
-    already has): the dead side comes out of the cached support
-    aggregate already hash-partitioned on the join keys, so no shuffle
-    stage exists there and AQE never sees runtime stats that would let
-    it convert the SortMergeJoin on its own (verified empirically —
-    a 1.7k-row dead side still planned as SMJ without the hint).
+    The broadcast must be EXPLICIT: the support-side relation exits
+    the cached aggregate already hash-partitioned on the join keys, so
+    no shuffle query stage exists there and AQE never sees runtime
+    stats that would let it convert the SortMergeJoin on its own
+    (verified empirically — a 1.7k-row dead side still planned as SMJ
+    without the hint).
     """
-    if n_dead is not None and n_dead <= _BROADCAST_DEAD_LIMIT:
-        dead = F.broadcast(dead)
-    ab = dead.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    ac = dead.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    bc = dead.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    use_anti = (n_dead or 0) <= (n_alive or 0) if n_alive is not None else True
+    side, how = (dead, "left_anti") if use_anti else (alive, "left_semi")
+    n_side = n_dead if use_anti else n_alive
+    if n_side is not None and n_side <= _BROADCAST_SUPPORT_LIMIT:
+        side = F.broadcast(side)
+    ab = side.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    ac = side.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    bc = side.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     return (
-        tri.join(ab, ["a", "b"], "left_anti")
-        .join(ac, ["a", "c"], "left_anti")
-        .join(bc, ["b", "c"], "left_anti")
+        tri.join(ab, ["a", "b"], how)
+        .join(ac, ["a", "c"], how)
+        .join(bc, ["b", "c"], how)
     )
 
 
@@ -121,12 +132,14 @@ def k_truss(
     counters: list[dict] = []
     alive = None
     for rounds in range(start_round, max_rounds + 1):
-        # One support aggregation per round, consumed twice (count
-        # action + dead-edge filter inside the checkpoint write) — persist
-        # so the explode+groupBy runs once. Alive and dead counts come
-        # from a single action; n_dead gates the explicit broadcast of
-        # the dead side in the anti-joins.
-        sup = edge_support(tri).persist()
+        # The support explode+groupBy runs twice per round (once under
+        # the count action, once under the checkpoint write) — measured
+        # CHEAPER than persisting it: caching the ~O(E)-row aggregate
+        # costs more in memory-store traffic than recomputing a
+        # codegen'd explode+groupBy over the checkpointed triangles.
+        # Both counts come from a single action; they pick the smaller
+        # join side and gate its explicit broadcast in _alive_triangles.
+        sup = edge_support(tri)
         ok = F.col("support") >= thresh
         row = sup.agg(
             F.count(F.when(ok, 1)).alias("alive"),
@@ -135,9 +148,8 @@ def k_truss(
         n_alive, n_dead = row["alive"], row["dead"]
         alive = sup.where(ok).select("src", "dst")
         dead = sup.where(~ok).select("src", "dst")
-        tri = _alive_triangles(tri, dead, n_dead)
+        tri = _alive_triangles(tri, alive, dead, n_alive, n_dead)
         tri = ckpt.save(tri, rounds, {"stage": "peel", "alive_edges": n_alive})
-        sup.unpersist()
         counters.append({"round": rounds, "alive_edges": n_alive})
         if n_alive == prev_count:
             break
