@@ -118,6 +118,22 @@ d2 AS (SELECT doc_id, text FROM documents
        UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents)
 """
 
+# Exact cosine top-k — the oracle for brute_force_topk AND for ivf_topk
+# at full probing (n_probe == n_cells scores every cell, so IVF is exact
+# and its result contract is identical to the brute-force baseline).
+_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT q.query_id, c.id, list_cosine_similarity(c.v, q.v) AS score
+      FROM q CROSS JOIN c),
+r AS (SELECT query_id, id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, id ASC) AS rn
+      FROM s)
+SELECT query_id, rn AS rank, id, round(score, 6) AS score FROM r WHERE rn <= 10
+"""
+
 _STOP = {
     "en": "'the','and','of','to','in','is','that','it','for','with'",
     "de": "'der','die','das','und','ist','nicht','ein','mit','auf','sich'",
@@ -302,7 +318,8 @@ def _q_simhash(spark, sf):
 
 def _q_ngram(spark, sf):
     d = _docs2(spark, sf)
-    return ngram_jaccard_pairs(d, col="text", id_col="doc_id", threshold=0.8)
+    pairs = ngram_jaccard_pairs(d, col="text", id_col="doc_id", threshold=0.8)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def _q_events_windows(spark, sf):
@@ -310,7 +327,20 @@ def _q_events_windows(spark, sf):
 
 
 def _q_events_sessions(spark, sf):
-    return sessionize(datasets.load(spark, sf, "events"), gap_minutes=30)
+    # Contract surface: session_id as bigint and session bounds as
+    # epoch-micros longs on BOTH sides — Spark's sum(int)->bigint /
+    # timestamp repr vs DuckDB's sum->hugeint / timestamp repr hash
+    # differently even when every value is equal (round-1 verdict).
+    s = sessionize(datasets.load(spark, sf, "events"), gap_minutes=30)
+    return s.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias(
+            "session_start_us"
+        ),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("session_end_us"),
+        "n_events",
+    )
 
 
 def _q_events_funnel(spark, sf):
@@ -320,8 +350,14 @@ def _q_events_funnel(spark, sf):
 
 
 def _q_media_features(spark, sf):
+    # Scalar projection: the driver's canonicalizer cannot sort/hash an
+    # array column, so posexplode the feature vector to one row per
+    # (media_id, kind, dim_idx, value).
     media = synthetic_media(spark, n=200)
-    return extract_features(media, dim=16).select("media_id", "kind", "feature")
+    feats = extract_features(media, dim=16)
+    return feats.select(
+        "media_id", "kind", F.posexplode("feature").alias("dim_idx", "value")
+    ).withColumn("value", F.round("value", 6))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -583,18 +619,11 @@ FROM documents
 """,
         "quality_features": quality,
         "language_id": language,
-        "embedding_topk": """
-WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
-           FROM embeddings WHERE vec_id < 5),
-c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-s AS (SELECT q.query_id, c.id, list_cosine_similarity(c.v, q.v) AS score
-      FROM q CROSS JOIN c),
-r AS (SELECT query_id, id, score,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY score DESC, id ASC) AS rn
-      FROM s)
-SELECT query_id, rn AS rank, id, round(score, 6) AS score FROM r WHERE rn <= 10
-""",
+        "embedding_topk": _TOPK_SQL,
+        # IVF at n_probe == n_cells probes every cell, so it is EXACT —
+        # identical result contract to brute-force top-k (VERDICT round 1
+        # item 3); partial-probe recall coverage stays in tests/test_ann.
+        "ivf_topk": _TOPK_SQL,
         "embedding_pairs": """
 WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.id AS id_a, b.id AS id_b,
@@ -609,17 +638,20 @@ FROM events GROUP BY 1, 2
 """,
         "events_sessionize": """
 WITH g AS (
-  SELECT user_id, ts,
+  SELECT user_id, event_id, ts,
+         -- truncated epoch seconds, exactly like Spark's ts.cast(long)
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                   OR (epoch_us(ts) // 1000000)
+                      - lag(epoch_us(ts) // 1000000) OVER w > 1800
               THEN 1 ELSE 0 END AS ns
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (SELECT user_id, ts,
-             sum(ns) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
       FROM g)
-SELECT user_id, session_id, min(ts) AS session_start,
-       max(ts) AS session_end, count(*) AS n_events
+SELECT user_id, session_id, epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_end_us, count(*) AS n_events
 FROM s GROUP BY user_id, session_id
 """,
         "events_funnel": """
@@ -639,7 +671,31 @@ SELECT 'purchase', 2, count(*) FROM f
 WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
   AND t2 IS NOT NULL AND t2 >= t1
 """,
+        # ngram_jaccard is EXACT — only its shingle representation is
+        # engine-specific (xxhash64'd word 3-grams vs DuckDB's raw
+        # strings); intersection/union counts agree barring 64-bit hash
+        # collisions, which don't occur at oracle scale.
+        "ngram_jaccard": rf"""
+WITH {_DOCS2},
+t AS (SELECT doc_id AS id, trim(lower(text)) AS tx FROM d2),
+w AS (SELECT id, tx, regexp_split_to_array(tx, '\s+') AS ws FROM t),
+sh AS (SELECT id, CASE WHEN len(ws) >= 3
+         THEN list_distinct(list_transform(generate_series(1, len(ws)-2),
+              i -> array_to_string(ws[i:i+2], ' ')))
+         ELSE [tx] END AS gs FROM w),
+sizes AS (SELECT id, len(gs) AS sz FROM sh),
+post AS (SELECT id, unnest(gs) AS g FROM sh),
+freq AS (SELECT g FROM post GROUP BY g HAVING count(*) > 1 AND count(*) <= 512),
+p AS (SELECT post.id, post.g FROM post JOIN freq USING (g)),
+co AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+       FROM p a JOIN p b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2),
+j AS (SELECT id_a, id_b,
+        CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jac
+      FROM co JOIN sizes sa ON sa.id = co.id_a JOIN sizes sb ON sb.id = co.id_b)
+SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8
+""",
         # no oracle (engine-hash- or index-structure-dependent, or
-        # approximate-recall by design): embedding_lsh, ivf_topk,
-        # minhash_pairs, simhash_pairs, ngram_jaccard, media_features.
+        # approximate-recall by design): embedding_lsh (LSH recall),
+        # minhash_pairs / simhash_pairs (xxhash64 signatures),
+        # media_features (decode stub is a seeded NumPy RNG).
     }

@@ -47,7 +47,11 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     the user's previous event exceeds the gap; session_id = running sum
     of starts per user (1-based).
     """
-    by_user = Window.partitionBy("user_id").orderBy("ts")
+    # event_id tiebreak: orderBy("ts") alone is nondeterministic when a
+    # user has duplicate timestamps (none in current testdata, but the
+    # window frame must not depend on that).
+    order = ["ts", "event_id"] if "event_id" in events.columns else ["ts"]
+    by_user = Window.partitionBy("user_id").orderBy(*order)
     # NTZ-safe epoch seconds (session is pinned to UTC in build_session)
     epoch = F.col("ts").cast("timestamp").cast("long")
     gap = epoch - F.lag(epoch).over(by_user)
