@@ -113,6 +113,18 @@ peel(it, src, dst) AS (
 """
 
 
+# Convergence guard for the fixed-depth peel recursion: if the edge set
+# is still shrinking between rounds maxit-1 and maxit, the oracle would
+# silently compare a non-fixpoint superset — error out instead (ADVICE
+# round 1). Consumers cross-join `chk` so the check always evaluates.
+_PEEL_CHK = f"""
+chk AS (SELECT CASE WHEN
+          (SELECT count(*) FROM peel WHERE it = {_PEEL_MAXIT})
+          <> (SELECT count(*) FROM peel WHERE it = {_PEEL_MAXIT - 1})
+        THEN error('truss oracle: peel not at fixpoint within maxit rounds')
+        ELSE 1 END AS ok)
+"""
+
 _DOCS2 = """
 d2 AS (SELECT doc_id, text FROM documents
        UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents)
@@ -545,12 +557,12 @@ lp(it, id, label) AS (
 SELECT id, label FROM lp WHERE it = 20
 """,
         "ktruss_4": f"""
-WITH RECURSIVE {_E_TRUSS}, {_peel_cte('2')}
-SELECT src, dst FROM peel WHERE it = {_PEEL_MAXIT}
+WITH RECURSIVE {_E_TRUSS}, {_peel_cte('2')}, {_PEEL_CHK}
+SELECT src, dst FROM peel, chk WHERE it = {_PEEL_MAXIT}
 """,
         "ktruss_components": f"""
-WITH RECURSIVE {_E_TRUSS}, {_peel_cte('2')},
-fx AS (SELECT src, dst FROM peel WHERE it = {_PEEL_MAXIT}),
+WITH RECURSIVE {_E_TRUSS}, {_peel_cte('2')}, {_PEEL_CHK},
+fx AS (SELECT src, dst FROM peel, chk WHERE it = {_PEEL_MAXIT}),
 bb AS (SELECT src, dst FROM fx UNION ALL SELECT dst AS src, src AS dst FROM fx),
 reach(id, r) AS (
   SELECT src, src FROM bb
@@ -598,9 +610,19 @@ peel(it, k, src, dst) AS (
   ) t
   WHERE (SELECT max(it) FROM peel) < {_PEEL_MAXIT}
 ),
-fix AS (SELECT k, count(*) AS n FROM peel WHERE it = {_PEEL_MAXIT} GROUP BY k)
+chk AS (SELECT CASE WHEN EXISTS (
+          SELECT 1 FROM
+            (SELECT k, count(*) FILTER (WHERE it = {_PEEL_MAXIT}) AS a,
+                    count(*) FILTER (WHERE it = {_PEEL_MAXIT - 1}) AS b
+             FROM peel GROUP BY k) WHERE a <> b)
+        THEN error('max_truss oracle: peel not at fixpoint within maxit')
+        ELSE 1 END AS ok),
+fix AS (SELECT k, count(*) AS n FROM peel, chk WHERE it = {_PEEL_MAXIT} GROUP BY k)
 SELECT CAST(k AS INT) AS k_max, CAST(n AS BIGINT) AS n_edges FROM fix
 WHERE k = (SELECT max(k) FROM fix)
+  AND CASE WHEN k >= 12
+           THEN error('max_truss oracle: k cap (12) is binding; raise range')
+           ELSE TRUE END
 """,
         "dedup_exact": (
             f"WITH {_DOCS2} SELECT min(doc_id) AS doc_id FROM d2 GROUP BY md5(text)"

@@ -339,6 +339,9 @@ def main() -> None:
 
 
 def write_report(runs: dict[str, list[dict]]) -> None:
+    if not any(runs.get(m) for m in MODES):
+        print("write_report: no mode produced a surviving rep", file=sys.stderr)
+        return
     # Best-of-reps: this shared sandbox shows minute-scale host stalls
     # that inflate individual runs by 3-10x; the minimum is the standard
     # noise-robust estimator of machine capability (a stall can slow a

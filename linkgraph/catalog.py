@@ -56,10 +56,21 @@ def iceberg_catalog(spark: SparkSession) -> str | None:
     catalog class AND the runtime jar is loadable. Returns the first
     such name (sorted for determinism).
     """
-    confs = spark.sparkContext.getConf().getAll()
+    # Launch-time SparkConf AND session runtime conf: catalogs set via
+    # spark.conf.set / builder.config over an existing context are
+    # invisible to getConf(), so scan both (ADVICE round 1).
+    confs = dict(spark.sparkContext.getConf().getAll())
+    try:
+        confs.update(
+            (r["key"], r["value"])
+            for r in spark.sql("SET").collect()
+            if r["key"].startswith("spark.sql.catalog.")
+        )
+    except Exception:
+        pass
     names = sorted(
         k.split(".", 3)[3]
-        for k, v in confs
+        for k, v in confs.items()
         if k.startswith("spark.sql.catalog.")
         and k.count(".") == 3
         and v in _ICEBERG_CATALOG_CLASSES

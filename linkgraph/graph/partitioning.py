@@ -150,4 +150,5 @@ def broadcast_state_ok(spark, n_rows: int, limit: int) -> bool:
     if mode == "never":
         return False
     master = spark.sparkContext.master or ""
-    return n_rows <= limit and master.startswith("local[")
+    single_jvm = master == "local" or master.startswith("local[")
+    return n_rows <= limit and single_jvm
