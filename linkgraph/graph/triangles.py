@@ -86,12 +86,25 @@ _SHJ_BUILD_ROWS_LIMIT = 1_000_000
 
 def _shj_safe(spark, n_edges: int | None) -> bool:
     """True when a forced (non-spillable) shuffled hash build over the
-    oriented edge table is memory-safe: expected rows per shuffle
-    partition under _SHJ_BUILD_ROWS_LIMIT."""
+    oriented edge table is memory-safe at the CURRENT shuffle partition
+    count: expected rows per partition under _SHJ_BUILD_ROWS_LIMIT."""
     if n_edges is None:
         return False
     parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return n_edges / max(parts, 1) <= _SHJ_BUILD_ROWS_LIMIT
+
+
+def _shj_parts(spark, n_edges: int) -> int:
+    """Partition count that bounds a forced hash build of the oriented
+    edge table at _SHJ_BUILD_ROWS_LIMIT rows (~32MB) per task — the
+    scale path past every fixed threshold: the build side is ALWAYS just
+    the edge table, so an explicit repartition count that grows with
+    |E| keeps the non-spillable build bounded at ANY scale, and the
+    O(sum deg_out^2) wedge side is then hashed, never sorted (SMJ would
+    sort the wedge stream — the dominant cost at 1e9 edges)."""
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    need = -(-n_edges // max(_SHJ_BUILD_ROWS_LIMIT, 1))
+    return max(parts, need)
 
 
 def _close_wedges(
@@ -109,16 +122,30 @@ def _close_wedges(
     still just the edge table, so a shuffled hash join (skipping the
     sort of the huge wedge side) beats SortMergeJoin — measured 47 s vs
     75 s best-of-reps on the 9.3M-edge graph at local[32] with the
-    broadcast disabled. Like the wedge self-join, the forced hash build
-    cannot spill, so the hint is gated on per-partition build rows;
-    otherwise the plan stays a spillable SMJ (AQE splits residual skew).
+    broadcast disabled. The forced hash build cannot spill, so it must
+    be bounded: at the default shuffle partition count while that keeps
+    build rows/partition under _SHJ_BUILD_ROWS_LIMIT, else by an
+    explicit repartition on (b, c) to _shj_parts — (b, c) pairs are
+    unique edges, so the key is collision-uniform and the bound holds at
+    any |E|. The wedge stream therefore NEVER gets sorted; the spillable
+    SMJ remains only for the unknown-size case (n_edges None).
     """
     closing = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
     if n_edges is not None and n_edges <= _BROADCAST_EDGE_LIMIT:
         closing = F.broadcast(closing)
+        tri = wedges.join(closing, ["b", "c"])
     elif _shj_safe(oriented.sparkSession, n_edges):
-        closing = closing.hint("shuffle_hash")
-    tri = wedges.join(closing, ["b", "c"])
+        tri = wedges.join(closing.hint("shuffle_hash"), ["b", "c"])
+    elif n_edges is not None:
+        # Repartition only the BUILD side to the bounded count; the
+        # wedge side's matching exchange is inserted by the planner, so
+        # AQE retains the freedom to split skewed stream partitions.
+        parts = _shj_parts(oriented.sparkSession, n_edges)
+        tri = wedges.join(
+            closing.repartition(parts, "b", "c").hint("shuffle_hash"), ["b", "c"]
+        )
+    else:
+        tri = wedges.join(closing, ["b", "c"])
     ordered = F.array_sort(F.array("a", "b", "c"))
     return tri.select(
         ordered.getItem(0).alias("a"),
@@ -168,11 +195,18 @@ def _wedges_join(oriented: DataFrame, n_edges: int | None = None) -> DataFrame:
     # skips SortMergeJoin's O(E log E) sort of BOTH aliases — ~15-25%
     # faster measured on the 9.3M-edge graph. The hint FORCES the join
     # strategy past Spark's safety sizing, and unlike SMJ a hash build
-    # cannot spill — so only hint when the expected per-partition build
-    # (rows/partition) is comfortably small; otherwise fall back to the
-    # robust, spillable SortMergeJoin.
+    # cannot spill — so the build must be bounded: at the default
+    # shuffle partition count while rows/partition stay under the limit,
+    # else by repartitioning the oriented table ONCE on the join key to
+    # _shj_parts (both aliases then share the partitioning, so the join
+    # itself is exchange-free). Per-key rows are bounded by the degree
+    # ordering at O(sqrt(2m)) << rows/partition, so no partition can
+    # blow out. SMJ remains only for the unknown-size case.
+    spark = oriented.sparkSession
+    if not _shj_safe(spark, n_edges) and n_edges is not None:
+        oriented = oriented.repartition(_shj_parts(spark, n_edges), "lo")
     x, y = oriented.alias("x"), oriented.alias("y")
-    if _shj_safe(oriented.sparkSession, n_edges):
+    if n_edges is not None:
         y = y.hint("shuffle_hash")
     return (
         x.join(y, "lo")

@@ -13,6 +13,9 @@ broadcast-mode run on the same graph.
 
 from __future__ import annotations
 
+import contextlib
+import io
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -58,8 +61,15 @@ def test_triangle_close_shuffle_mode_matches_broadcast(spark, graph, monkeypatch
     for strategy in ("join", "sql", "csr"):
         got = sorted(map(tuple, tri_mod.triangles(graph, strategy=strategy).collect()))
         assert got == want and len(got) == 22
-    # Past BOTH gates: spillable SortMergeJoin fallback (wedge + close).
+    # Past BOTH gates: the 1e9-edge plan — oriented table repartitioned
+    # to a count that bounds the hash build, wedge stream hashed, and no
+    # SortMergeJoin anywhere (the wedge side must never be sorted).
     monkeypatch.setattr(tri_mod, "_SHJ_BUILD_ROWS_LIMIT", 0)
     for strategy in ("join", "sql", "csr"):
-        got = sorted(map(tuple, tri_mod.triangles(graph, strategy=strategy).collect()))
+        tri = tri_mod.triangles(graph, strategy=strategy)
+        got = sorted(map(tuple, tri.collect()))
         assert got == want and len(got) == 22
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            tri.explain("formatted")
+        assert "SortMergeJoin" not in buf.getvalue(), strategy
