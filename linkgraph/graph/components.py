@@ -118,6 +118,58 @@ def connected_components(
     return child.unionByName(roots).distinct()
 
 
+def connected_components_delta(
+    edges: DataFrame,
+    checkpointer: Checkpointer | None = None,
+    max_rounds: int = 200,
+) -> DataFrame:
+    """Min-label propagation with a DELTA WORKSET — the Flink reference's
+    ``iterateDelta`` scheme (graph-mining-flink Truss.scala:156-188):
+    each round only the vertices whose label improved last round send
+    (neighbor, label) messages; a vertex keeps min(current, incoming).
+
+    O(diameter) rounds vs large-star/small-star's O(log n), but each
+    round costs O(edges incident to the workset), which decays fast on
+    real graphs — the workset-pattern exemplar for this engine.
+    ``connected_components`` remains the scale default; both reach the
+    identical labeling (pinned in tests/test_components.py).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    spark = edges.sparkSession
+    ckpt = checkpointer or Checkpointer(spark, job="cc_delta")
+    adj = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # Loop-invariant adjacency co-located with the workset join key.
+    adj = adj.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        adj.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    workset = labels  # round 1: every vertex announces its own id
+    for step in range(max_rounds):
+        msgs = adj.join(workset.withColumnRenamed("id", "src"), "src").select(
+            F.col("dst").alias("id"), "label"
+        )
+        incoming = msgs.groupBy("id").agg(F.min("label").alias("new_label"))
+        merged = labels.join(incoming, "id", "left_outer").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("new_label", "label")).alias("label"),
+            (F.coalesce("new_label", "label") < F.col("label")).alias("improved"),
+        )
+        merged = ckpt.save(merged, step, eager=False)
+        n_improved = merged.where("improved").count()
+        workset = merged.where("improved").select("id", "label")
+        labels = merged.select("id", "label")
+        if n_improved == 0:
+            break
+    adj.unpersist()
+    return labels
+
+
 def component_of_edges(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """Tag each edge with its component label: (component, src, dst).
 

@@ -11,6 +11,16 @@ Execution per superstep (bounded): 1 join (labels onto edge endpoints),
 window, no sort), 1 driver action for the changed-vertex count. The
 tie-break encodes (count desc, label asc) as max(struct(count, -label)),
 keeping the argmax a hash aggregate instead of a Window sort at scale.
+
+Delta workset (the reference's own optimization — its Flink side
+propagates only changed vertices, graph-mining-flink Truss.scala:163-185
+``iterateDelta``): a vertex's vote multiset is unchanged unless some
+neighbor changed label last round, so once the changed fraction falls
+below _DELTA_FRACTION each round recomputes votes ONLY for vertices
+with a changed neighbor ("candidates") — everyone else provably keeps
+their label. Late converging rounds then cost O(edges incident to
+candidates), not O(E). The fixpoint is bit-identical to full
+recomputation (pinned in tests/test_labelprop.py).
 """
 
 from __future__ import annotations
@@ -27,6 +37,12 @@ from linkgraph.checkpoint import Checkpointer
 # see pagerank._BROADCAST_STATE_LIMIT — same adaptive broadcast of the
 # per-vertex state into the adjacency join while it fits memory.
 _BROADCAST_LABELS_LIMIT = 5_000_000
+
+# Switch to the delta workset once fewer than this fraction of vertices
+# changed last round: below it the candidate semi-join prunes more edge
+# scans than its own distinct costs; above it full recompute is cheaper
+# (the candidate set would be ~the whole graph anyway).
+_DELTA_FRACTION = 0.25
 
 
 @dataclass
@@ -73,8 +89,12 @@ def label_propagation(
     part_key = "src" if small else "dst"
     adj = adj.repartition(part_key).persist(StorageLevel.MEMORY_AND_DISK)
 
-    # Resume mid-iteration from the last complete superstep.
+    # Resume mid-iteration from the last complete superstep. The changed
+    # set is not persisted, so the first resumed round recomputes votes
+    # for all vertices (a full round is always a safe over-approximation
+    # of a delta round).
     start_it = 1
+    changed_ids: DataFrame | None = None  # None == "all" (full round)
     latest = ckpt.latest()
     if latest is not None:
         loaded, _manifest = ckpt.load(latest)
@@ -82,12 +102,39 @@ def label_propagation(
         start_it = latest + 1
 
     counters: list[dict] = []
-    changed = -1
+    changed = n_vertices
     it = start_it - 1
     for it in range(start_it, max_iter + 1):
         t_step = time.time()
+        use_delta = (
+            changed_ids is not None and changed <= n_vertices * _DELTA_FRACTION
+        )
+        if use_delta:
+            # Vertices owning at least one changed neighbor; everyone
+            # else keeps their label (their vote multiset is unchanged).
+            chg_dst = changed_ids.withColumnRenamed("id", "dst")
+            candidates = (
+                adj.join(F.broadcast(chg_dst) if small else chg_dst, "dst")
+                .select("src")
+                .distinct()
+            )
+            if small:
+                voters = adj.join(F.broadcast(candidates), "src", "left_semi")
+            else:
+                # adj is dst-partitioned in shuffle mode, so a semi-join
+                # keyed on src would reshuffle the whole edge table every
+                # delta round. The mirrored edge set is symmetric —
+                # {(u,v): u in C} == swap({(v,u): u in C}) — so key the
+                # semi-join on dst (co-located, candidates shuffle O(|C|))
+                # and swap the surviving rows back.
+                cand_dst = candidates.withColumnRenamed("src", "dst")
+                voters = adj.join(cand_dst, "dst", "left_semi").select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+        else:
+            voters = adj
         lab = labels.withColumnRenamed("id", "dst")
-        nbr_labels = adj.join(F.broadcast(lab) if small else lab, "dst").select(
+        nbr_labels = voters.join(F.broadcast(lab) if small else lab, "dst").select(
             F.col("src").alias("id"), "label"
         )
         votes = nbr_labels.groupBy("id", "label").agg(F.count(F.lit(1)).alias("n"))
@@ -106,9 +153,15 @@ def label_propagation(
         # vertex count materializes the checkpointed state it reads.
         merged = ckpt.save(merged, it, eager=False)
         changed = merged.where("chg").count()
+        changed_ids = merged.where("chg").select("id")
         labels = merged.select("id", "label")
         counters.append(
-            {"iteration": it, "changed": changed, "wall_s": time.time() - t_step}
+            {
+                "iteration": it,
+                "changed": changed,
+                "mode": "delta" if use_delta else "full",
+                "wall_s": time.time() - t_step,
+            }
         )
         if changed == 0:
             break

@@ -74,3 +74,16 @@ def test_component_of_edges(spark):
     tagged = component_of_edges(edges, labels)
     rows = {(r["src"], r["dst"]): r["component"] for r in tagged.collect()}
     assert rows == {(1, 2): 1, (2, 3): 1, (10, 11): 10}
+
+
+def test_delta_workset_matches_star_algorithm(spark, truss_mini):
+    from linkgraph.graph.components import connected_components_delta
+
+    # path graph stresses O(diameter) propagation; gnp stresses many
+    # components; truss_mini is the reference fixture
+    path = canonicalize(edge_df(spark, [(i, i + 1) for i in range(12)]))
+    gnp = canonicalize(gnp_graph(spark, n=150, p=0.01, seed=13))
+    for g in (truss_mini, path, gnp):
+        want = labels_dict(connected_components(g))
+        got = labels_dict(connected_components_delta(g))
+        assert got == want

@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+import random
+
+import linkgraph.graph.labelprop as lpa_mod
 from linkgraph.graph.edges import canonicalize
 from linkgraph.graph.labelprop import label_propagation
 from tests.conftest import complete_graph, edge_df
@@ -35,3 +38,35 @@ def test_deterministic_across_runs(spark, small_twitter):
 def test_labels_cover_all_vertices(truss_mini):
     res = label_propagation(truss_mini, max_iter=10)
     assert set(labels_dict(res.labels)) == set(range(1, 11))
+
+
+def _random_graph(spark, n=60, m=150, seed=11):
+    rng = random.Random(seed)
+    pairs = {
+        (a, b)
+        for a, b in (
+            sorted(rng.sample(range(n), 2)) for _ in range(m)
+        )
+    }
+    return canonicalize(edge_df(spark, sorted(pairs)))
+
+
+def test_delta_workset_matches_full_recompute(spark, truss_mini, monkeypatch):
+    """Delta rounds (only changed-neighbor vertices recompute) must reach
+    the identical fixpoint as full per-round recomputation, in both
+    broadcast and shuffle modes."""
+    g = _random_graph(spark)
+    for graph in (truss_mini, g):
+        monkeypatch.setattr(lpa_mod, "_DELTA_FRACTION", -1.0)  # never delta
+        full = label_propagation(graph, max_iter=12)
+        assert all(c["mode"] == "full" for c in full.counters)
+        monkeypatch.setattr(lpa_mod, "_DELTA_FRACTION", 2.0)  # delta from round 2
+        delta = label_propagation(graph, max_iter=12)
+        assert any(c["mode"] == "delta" for c in delta.counters)
+        assert labels_dict(full.labels) == labels_dict(delta.labels)
+        # shuffle mode exercises the symmetric-swap semi-join
+        monkeypatch.setattr(lpa_mod, "_BROADCAST_LABELS_LIMIT", 0)
+        delta_sh = label_propagation(graph, max_iter=12)
+        assert any(c["mode"] == "delta" for c in delta_sh.counters)
+        assert labels_dict(full.labels) == labels_dict(delta_sh.labels)
+        monkeypatch.setattr(lpa_mod, "_BROADCAST_LABELS_LIMIT", 5_000_000)
