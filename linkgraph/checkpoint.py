@@ -36,6 +36,10 @@ from pyspark.sql import DataFrame, SparkSession
 MANIFEST = "manifest.json"
 
 
+def _safe_name(name: str) -> str:
+    return "".join(c if c.isalnum() or c == "_" else "_" for c in name)
+
+
 @dataclass
 class Checkpointer:
     """Checkpoint manager for one named iterative job."""
@@ -57,6 +61,7 @@ class Checkpointer:
         step: int,
         counters: dict | None = None,
         eager: bool = True,
+        bucket_cols: list[str] | None = None,
     ) -> DataFrame:
         """Materialize a superstep; returns the (lineage-cut) DataFrame.
 
@@ -68,6 +73,18 @@ class Checkpointer:
         superstep" and "compute this superstep's convergence metric" into
         ONE driver round-trip — at high parallelism the per-job fixed
         cost is what caps scaling efficiency of cheap supersteps.
+
+        ``bucket_cols`` (dir mode only): write the superstep as an
+        EXTERNAL BUCKETED TABLE (bucket count = shuffle partitions) and
+        return its catalog scan, which advertises HashPartitioning on
+        the bucket columns — the next superstep's join against this
+        state is then exchange-free on the state side (PLANS.md's
+        shuffle-mode gap: a plain parquet/localCheckpoint scan reports
+        UnknownPartitioning and re-shuffles O(|V|) every round). The
+        parquet files live under the superstep dir like any other
+        checkpoint, so cross-session resume (where the in-memory catalog
+        is gone) reads them directly — correctness never depends on the
+        bucket metadata, only the exchange elimination does.
         """
         counters = dict(counters or {})
         if self.dir is None or (step % self.every) != 0:
@@ -75,6 +92,40 @@ class Checkpointer:
             self.history.append({"superstep": step, "counters": counters, "mode": "local"})
             return out
         path = self._step_dir(step)
+        if bucket_cols and not self.catalog:
+            spark = self.spark
+            n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            name = f"lg_{_safe_name(self.job)}_s{step:05d}"
+            data = os.path.join(path, "data")
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                df.write.mode("overwrite")
+                .bucketBy(n_buckets, *bucket_cols)
+                .sortBy(*bucket_cols)
+                .option("path", data)
+                .saveAsTable(name)
+            )
+            out = spark.table(name)
+            files = sorted(
+                f for f in os.listdir(data) if f.endswith(".parquet")
+            ) if os.path.isdir(data) else []
+            manifest = {
+                "job": self.job,
+                "superstep": step,
+                "ts": time.time(),
+                "rows": out.count(),
+                "counters": counters,
+                "table": None,
+                "bucket": {"cols": bucket_cols, "n": n_buckets, "name": name},
+                "partitions": [
+                    {"file": f, "bytes": os.path.getsize(os.path.join(data, f))}
+                    for f in files
+                ],
+            }
+            with open(os.path.join(path, MANIFEST), "w") as fh:
+                json.dump(manifest, fh)
+            self.history.append(manifest)
+            return out
         if self.catalog:
             from linkgraph.catalog import read_table, write_table
 
@@ -131,4 +182,14 @@ class Checkpointer:
             from linkgraph.catalog import read_table
 
             return read_table(self.spark, manifest["table"]), manifest
+        b = manifest.get("bucket")
+        if b:
+            # same-session resume: the catalog scan keeps the bucket
+            # partitioning; cross-session the table is gone (in-memory
+            # catalog) and the raw parquet read below is still correct.
+            try:
+                if self.spark.catalog.tableExists(b["name"]):
+                    return self.spark.table(b["name"]), manifest
+            except Exception:
+                pass
         return self.spark.read.parquet(os.path.join(path, "data")), manifest

@@ -151,7 +151,12 @@ def label_propagation(
         )
         # lazy checkpoint + count = ONE job per superstep: the changed-
         # vertex count materializes the checkpointed state it reads.
-        merged = ckpt.save(merged, it, eager=False)
+        # Shuffle mode + durable checkpoints: bucket the label state on
+        # id so next round's joins skip the per-round state exchange
+        # (see pagerank / PLANS.md shuffle-mode gap).
+        merged = ckpt.save(
+            merged, it, eager=False, bucket_cols=None if small else ["id"]
+        )
         changed = merged.where("chg").count()
         changed_ids = merged.where("chg").select("id")
         labels = merged.select("id", "label")

@@ -194,6 +194,12 @@ def pagerank(
             "out_deg",
         )
         need_agg = check_delta or has_dangling
+        # Shuffle mode + durable checkpoints: write the state BUCKETED
+        # on id (bucket count = shuffle partitions, matching the cached
+        # links partitioning), so next round's links⋈state and
+        # state⋈contribs joins are exchange-free on the state side —
+        # a plain parquet scan reports UnknownPartitioning and would
+        # re-shuffle O(|V|) rows per round (PLANS.md shuffle-mode gap).
         new_state = ckpt.save(
             new_state.select(
                 "id",
@@ -203,6 +209,7 @@ def pagerank(
             ),
             it,
             eager=not need_agg,
+            bucket_cols=None if small_state else ["id"],
         )
         if need_agg:
             row = new_state.agg(

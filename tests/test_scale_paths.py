@@ -73,3 +73,67 @@ def test_triangle_close_shuffle_mode_matches_broadcast(spark, graph, monkeypatch
         with contextlib.redirect_stdout(buf):
             tri.explain("formatted")
         assert "SortMergeJoin" not in buf.getvalue(), strategy
+
+
+def test_bucketed_checkpoint_join_is_exchange_free_on_state(spark, tmp_path):
+    """A bucketed superstep table (bucket count == shuffle partitions)
+    joins an equally-partitioned cached relation with ZERO Exchange —
+    the shuffle-mode fix for the per-round O(|V|) state re-shuffle. The
+    plain-parquet control shows the Exchange the bucketing removes."""
+    from linkgraph.checkpoint import Checkpointer
+
+    state = spark.range(1000).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    links = (
+        spark.range(5000)
+        .select((F.col("id") % 1000).alias("src"))
+        .repartition("src")
+        .persist()
+    )
+    links.count()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def plan_of(right):
+            j = links.join(right, links["src"] == right["id"])
+            j.collect()
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                j.explain("formatted")
+            return buf.getvalue()
+
+        ck = Checkpointer(spark, dir=str(tmp_path), job="bk")
+        bucketed = ck.save(state, 1, bucket_cols=["id"])
+        assert ck.history[-1]["bucket"]["cols"] == ["id"]
+        plain = ck.save(state, 2)
+        # Join-inserted exchanges are tagged ENSURE_REQUIREMENTS (the
+        # links cache's own one-time REPARTITION_BY_COL build exchange
+        # is displayed inline in both plans and is not per-round cost).
+        assert "ENSURE_REQUIREMENTS" in plan_of(plain)   # parquet reshuffles
+        assert "ENSURE_REQUIREMENTS" not in plan_of(bucketed)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        links.unpersist()
+
+
+def test_pagerank_bucketed_shuffle_checkpoints_match(spark, graph, tmp_path, monkeypatch):
+    from linkgraph.checkpoint import Checkpointer
+
+    monkeypatch.setattr(pr_mod, "_BROADCAST_STATE_LIMIT", 0)
+    want = pr_mod.pagerank(graph, max_iter=8, tol=0.0)
+    ck = Checkpointer(spark, dir=str(tmp_path), job="pr_bk")
+    got = pr_mod.pagerank(graph, max_iter=8, tol=0.0, checkpointer=ck)
+    assert _ranks(want) == _ranks(got)
+    assert any(h.get("bucket") for h in ck.history)
+
+
+def test_lpa_bucketed_shuffle_checkpoints_match(spark, graph, tmp_path, monkeypatch):
+    from linkgraph.checkpoint import Checkpointer
+
+    monkeypatch.setattr(lpa_mod, "_BROADCAST_LABELS_LIMIT", 0)
+    want = lpa_mod.label_propagation(graph, max_iter=8)
+    ck = Checkpointer(spark, dir=str(tmp_path), job="lpa_bk")
+    got = lpa_mod.label_propagation(graph, max_iter=8, checkpointer=ck)
+    assert sorted(map(tuple, want.labels.collect())) == sorted(
+        map(tuple, got.labels.collect())
+    )
+    assert any(h.get("bucket") for h in ck.history)
