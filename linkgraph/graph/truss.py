@@ -69,7 +69,9 @@ def _alive_triangles(
     (verified empirically — a 1.7k-row dead side still planned as SMJ
     without the hint).
     """
-    use_anti = (n_dead or 0) <= (n_alive or 0) if n_alive is not None else True
+    use_anti = dead is not None and (
+        (n_dead or 0) <= (n_alive or 0) if n_alive is not None else True
+    )
     side, how = (dead, "left_anti") if use_anti else (alive, "left_semi")
     n_side = n_dead if use_anti else n_alive
     if n_side is not None and n_side <= _BROADCAST_SUPPORT_LIMIT:
@@ -90,6 +92,12 @@ class TrussResult:
     n_edges: int
     rounds: int
     counters: list[dict] = field(default_factory=list)
+    # Fixpoint triangle table == EXACTLY the triangles of `edges` as a
+    # subgraph: the peel starts from all triangles and only ever drops
+    # those touching a dead edge, so at the fixpoint what remains is
+    # every triangle whose three edges survive — max_truss feeds it to
+    # the next probe instead of re-enumerating wedges.
+    tri: DataFrame | None = None
 
 
 def k_truss(
@@ -162,6 +170,7 @@ def k_truss(
         n_edges=prev_count if prev_count >= 0 else 0,
         rounds=rounds,
         counters=counters,
+        tri=tri,
     )
 
 
@@ -205,6 +214,15 @@ def max_truss(
     best_k = 2
     min_k, max_k = 1, 0
     k = max(k0, 3)
+    # Probe reuse: a successful probe's fixpoint triangle table is
+    # exactly the triangle set of its surviving subgraph (TrussResult.tri
+    # invariant), and every later probe searches INSIDE that subgraph —
+    # so instead of re-enumerating wedges per probe, filter the previous
+    # fixpoint's triangles to the degree-pruned edge set with the same
+    # 3-way semi-join the peel already uses. Only the very first probe
+    # (and probes after a still-None start) enumerate wedges.
+    cur_tri: DataFrame | None = None   # triangles(graph), when known
+    cur_n: int | None = None           # |graph| (broadcast gate bound)
     probes: list[dict] = []
     while k != max_k and k != min_k:
         ckpt = checkpointer or Checkpointer(spark, job=f"maxtruss_k{k}")
@@ -218,19 +236,29 @@ def max_truss(
         ).join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi").select(
             "src", "dst"
         )
-        res = k_truss(pruned, k, ckpt)
-        probes.append({"k": k, "edges": res.n_edges, "rounds": res.rounds})
+        tri0 = None
+        if cur_tri is not None:
+            tri0 = _alive_triangles(cur_tri, pruned, None, n_alive=cur_n)
+        res = k_truss(pruned, k, ckpt, tri=tri0)
+        probes.append(
+            {
+                "k": k,
+                "edges": res.n_edges,
+                "rounds": res.rounds,
+                "reused_triangles": tri0 is not None,
+            }
+        )
         if res.n_edges == 0:
             max_k = k
             k = min_k + (k - min_k) // 2
         elif max_k == 0:
             min_k = k
             best, best_k = res.edges, k
-            graph = res.edges
+            graph, cur_tri, cur_n = res.edges, res.tri, res.n_edges
             k = 2 * k
         else:
             min_k = k
             best, best_k = res.edges, k
-            graph = res.edges
+            graph, cur_tri, cur_n = res.edges, res.tri, res.n_edges
             k = k + (max_k - k) // 2
     return MaxTrussResult(k=best_k, edges=best, probes=probes)

@@ -106,3 +106,22 @@ def test_max_truss_k6_start_insensitive(spark, k0):
     res = max_truss(kn, k0=k0)
     assert res.k == 6
     assert len(canonical_pairs(res.edges)) == 15
+
+
+def test_max_truss_reuses_probe_triangles(spark, truss_mini, monkeypatch):
+    """After the first probe, binary-search probes filter the previous
+    fixpoint's triangle table instead of re-enumerating wedges."""
+    import linkgraph.graph.truss as truss_mod
+
+    calls = []
+    orig = truss_mod.triangles
+
+    def counting(e, *a, **kw):
+        calls.append(1)
+        return orig(e, *a, **kw)
+
+    monkeypatch.setattr(truss_mod, "triangles", counting)
+    res = truss_mod.max_truss(truss_mini, k0=3)
+    assert res.k == 4
+    assert len(calls) == 1  # wedges enumerated exactly once per search
+    assert [p["reused_triangles"] for p in res.probes].count(False) <= 1
