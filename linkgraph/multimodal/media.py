@@ -67,16 +67,64 @@ def synthetic_media(spark: SparkSession, n: int = 100, seed: int = 42) -> DataFr
     )
 
 
-# ---------------------------------------------------------------- STUB --
+# ------------------------------------------------------------- CODECS --
+# Optional real codecs, import-guarded: this container has no
+# image/audio libraries, so both guards resolve to None and the
+# deterministic stub below takes over. Installing Pillow / soundfile
+# flips the real decode on with NO other change — the decode contract
+# either way is "payload bytes -> 1-D float64 signal".
+try:  # pragma: no cover — not installed in this container
+    from PIL import Image as _PIL_IMAGE
+except Exception:
+    _PIL_IMAGE = None
+try:  # pragma: no cover — not installed in this container
+    import soundfile as _SOUNDFILE
+except Exception:
+    _SOUNDFILE = None
+
+
+def _decode_real(payload: bytes, kind: str) -> np.ndarray | None:
+    """Real decode when a codec library is present, else None.
+
+    Video stays stubbed even with these libs (frame demux needs
+    ffmpeg/pyav); its plumbing contract is identical.
+    """
+    import io as _io
+
+    if kind == "image" and _PIL_IMAGE is not None:
+        img = _PIL_IMAGE.open(_io.BytesIO(bytes(payload))).convert("L")
+        return np.asarray(img, dtype=np.float64).ravel() / 255.0
+    if kind == "audio" and _SOUNDFILE is not None:
+        data, _sr = _SOUNDFILE.read(_io.BytesIO(bytes(payload)))
+        return np.asarray(data, dtype=np.float64).reshape(-1)
+    return None
+
+
+def _codec_available(kind: str) -> bool:
+    return (kind == "image" and _PIL_IMAGE is not None) or (
+        kind == "audio" and _SOUNDFILE is not None
+    )
+
+
 def _decode_payload(payload: bytes, kind: str, strict: bool) -> np.ndarray:
-    """STUB: the real codec (PIL / ffmpeg / soundfile) is not available
-    in this container. strict=True raises; strict=False produces a
-    deterministic fake 'decode' (bytes -> seeded float array) so the
-    surrounding Spark plumbing is testable end-to-end."""
+    """Decode seam: real codec when available, else the deterministic
+    STUB (bytes -> seeded float array) so the surrounding Spark plumbing
+    stays testable end-to-end. strict=True refuses to fake: it raises
+    NotImplementedError when no codec exists for `kind` and propagates
+    real decode errors instead of falling back."""
+    if _codec_available(kind):
+        try:
+            out = _decode_real(payload, kind)
+        except Exception:
+            if strict:
+                raise
+            out = None
+        if out is not None and out.size:
+            return out
     if strict:
         raise NotImplementedError(
             f"no codec library available to decode kind={kind!r}; install "
-            "PIL/ffmpeg/soundfile and replace _decode_payload"
+            "Pillow (image) / soundfile (audio) / pyav (video)"
         )
     digest = hashlib.sha256(bytes(payload)).digest()
     rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
