@@ -319,13 +319,22 @@ def _q_ivf_topk(spark, sf):
 
 
 def _q_minhash(spark, sf):
+    # portable=True: the cross-engine polynomial hash family (see
+    # linkgraph/dedup/phash.py) makes the exact signatures — and hence
+    # the exact LSH candidate set and verified pairs — reproducible in
+    # the DuckDB oracle. The scale path keeps xxhash64.
     d = _docs2(spark, sf)
-    return minhash_near_duplicates(d, col="text", id_col="doc_id", threshold=0.8)
+    pairs = minhash_near_duplicates(
+        d, col="text", id_col="doc_id", threshold=0.8, portable=True
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def _q_simhash(spark, sf):
     d = _docs2(spark, sf)
-    return simhash_near_duplicates(d, col="text", id_col="doc_id", max_hamming=3)
+    return simhash_near_duplicates(
+        d, col="text", id_col="doc_id", max_hamming=3, portable=True
+    )
 
 
 def _q_ngram(spark, sf):
@@ -414,6 +423,99 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 # oracles
 # --------------------------------------------------------------------------
+
+
+def _poly_sql(expr: str, mult: int, mod: int) -> str:
+    """DuckDB rendering of phash.poly_hash: identical mod-P fold over
+    code points (empty string -> 0 on both engines)."""
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(generate_series(1, length({expr})), "
+        f"pi -> ascii(substring({expr}, pi, 1))::BIGINT)), "
+        f"(acc, c) -> (acc * {mult} + c) % {mod})"
+    )
+
+
+def _minhash_oracle() -> str:
+    """Full MinHash+LSH pipeline in DuckDB on the portable hash family:
+    shingle -> 32 signature mins -> 8 band folds -> capped buckets ->
+    exact-Jaccard verify; every constant mirrors phash.py and the
+    _q_minhash call (shingle=3, b=8, r=4, cap=256, threshold=0.8)."""
+    from linkgraph.dedup import phash
+
+    seeds = ", ".join(
+        "({}, {}, {})".format(i, *phash.sig_seeds(i)) for i in range(32)
+    )
+    return rf"""
+WITH {_DOCS2},
+t AS (SELECT doc_id AS id, trim(lower(text)) AS tx FROM d2),
+w AS (SELECT id, tx, regexp_split_to_array(tx, '\s+') AS ws FROM t),
+gs AS (SELECT id, CASE WHEN len(ws) >= 3
+         THEN list_transform(generate_series(1, len(ws) - 2),
+              i -> array_to_string(ws[i:i+2], ' '))
+         ELSE [tx] END AS grams FROM w),
+hs AS (SELECT id, list_distinct(list_transform(grams,
+         g -> {_poly_sql('g', 31, phash.P1)})) AS hset FROM gs),
+post AS (SELECT id, unnest(hset) AS h FROM hs),
+seeds AS (SELECT * FROM (VALUES {seeds}) s(i, a, b)),
+sig AS (SELECT id, i, min((a * h + b) % {phash.P1}) AS v
+        FROM post CROSS JOIN seeds GROUP BY id, i),
+vs AS (SELECT id, i // 4 AS bd, list(v ORDER BY i) AS sl
+       FROM sig GROUP BY id, i // 4),
+bk AS (SELECT DISTINCT id,
+         list_reduce(list_prepend(bd::BIGINT, sl),
+           (acc, v) -> (acc * {phash.BAND_MULT} + v) % {phash.P2}) AS band
+       FROM vs),
+rk AS (SELECT id, band, row_number() OVER (PARTITION BY band ORDER BY id) AS rn
+       FROM bk),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM rk a JOIN rk b ON a.band = b.band AND a.id < b.id
+         WHERE a.rn <= 256 AND b.rn <= 256),
+jac AS (SELECT id_a, id_b,
+          CAST(len(list_intersect(ha.hset, hb.hset)) AS DOUBLE)
+            / len(list_distinct(list_concat(ha.hset, hb.hset))) AS j
+        FROM cand JOIN hs ha ON ha.id = cand.id_a
+                  JOIN hs hb ON hb.id = cand.id_b)
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.8
+"""
+
+
+def _simhash_oracle() -> str:
+    """SimHash in DuckDB on the portable 62-bit token hash: bit votes ->
+    signature -> Manku chunk buckets (4 chunks x 16 bits, cap 1024) ->
+    hamming verify. Token-hash bits 61..63 are zero by construction, so
+    those signature bits vote uniformly negative in both engines (the
+    b < 62 guard also keeps 1 << b inside BIGINT)."""
+    from linkgraph.dedup import phash
+
+    h1 = _poly_sql("wd", 31, phash.P1)
+    h2 = _poly_sql("wd", 37, phash.P2)
+    return rf"""
+WITH {_DOCS2},
+t AS (SELECT doc_id AS id, trim(lower(text)) AS tx FROM d2),
+tok AS (SELECT id, unnest(regexp_split_to_array(tx, '\s+')) AS wd FROM t),
+th AS (SELECT id, (({h1}) << 31) + ({h2}) AS h FROM tok),
+bits AS (SELECT unnest(generate_series(0, 63)) AS b),
+votes AS (SELECT id, b,
+            sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+          FROM th CROSS JOIN bits GROUP BY id, b),
+sig AS (SELECT id,
+          sum(CASE WHEN s > 0 AND b < 62 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+            AS sh
+        FROM votes GROUP BY id),
+ch AS (SELECT id, c, (sh >> (c * 16)) & 65535 AS v
+       FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c) cs),
+rk AS (SELECT id, c, v, row_number() OVER (PARTITION BY c, v ORDER BY id) AS rn
+       FROM ch),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM rk a JOIN rk b ON a.c = b.c AND a.v = b.v AND a.id < b.id
+         WHERE a.rn <= 1024 AND b.rn <= 1024),
+hm AS (SELECT id_a, id_b, bit_count(xor(sa.sh, sb.sh)) AS hamming
+       FROM cand JOIN sig sa ON sa.id = cand.id_a
+                 JOIN sig sb ON sb.id = cand.id_b)
+SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM hm
+WHERE hamming <= 3
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -716,8 +818,13 @@ j AS (SELECT id_a, id_b,
       FROM co JOIN sizes sa ON sa.id = co.id_a JOIN sizes sb ON sb.id = co.id_b)
 SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8
 """,
-        # no oracle (engine-hash- or index-structure-dependent, or
-        # approximate-recall by design): embedding_lsh (LSH recall),
-        # minhash_pairs / simhash_pairs (xxhash64 signatures),
+        # minhash/simhash run the driver queries on the PORTABLE hash
+        # family (linkgraph/dedup/phash.py): pure mod-P int64 arithmetic
+        # both engines evaluate identically, so the exact signatures,
+        # LSH buckets, and verified pairs reproduce in DuckDB.
+        "minhash_pairs": _minhash_oracle(),
+        "simhash_pairs": _simhash_oracle(),
+        # no oracle (index-structure-dependent / approximate-recall by
+        # design): embedding_lsh (random-hyperplane LSH recall),
         # media_features (decode stub is a seeded NumPy RNG).
     }

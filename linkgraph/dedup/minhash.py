@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from linkgraph.dedup import phash
+
 _PAIR_EXPR = (
     "flatten(transform(ids, (x, i) -> "
     "transform(slice(ids, i + 2, size(ids)), y -> struct(x as id_a, y as id_b))))"
@@ -35,51 +37,76 @@ _PAIR_EXPR = (
 
 
 def shingle_sets(
-    df: DataFrame, col: str = "text", id_col: str = "doc_id", shingle: int = 3
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
-    """(id, shingles: array<long>) — distinct hashed word n-grams."""
+    """(id, shingles: array<long>) — distinct hashed word n-grams.
+
+    ``portable=True`` swaps xxhash64 for the cross-engine polynomial
+    family (linkgraph.dedup.phash) so a DuckDB oracle can reproduce the
+    exact shingle hashes; the default stays on the JVM intrinsic.
+    """
+    gram_hash = phash.poly_hash if portable else F.xxhash64
     words = F.split(F.trim(F.lower(F.col(col))), r"\s+")
     n = F.size(words)
     grams = F.when(
         n >= shingle,
         F.transform(
             F.sequence(F.lit(1), n - F.lit(shingle - 1)),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, shingle))),
+            lambda i: gram_hash(F.concat_ws(" ", F.slice(words, i, shingle))),
         ),
-    ).otherwise(F.array(F.xxhash64(F.trim(F.lower(F.col(col))))))
+    ).otherwise(F.array(gram_hash(F.trim(F.lower(F.col(col))))))
     return df.select(F.col(id_col).alias("id"), F.array_distinct(grams).alias("shingles"))
 
 
 def minhash_signatures(
-    shingled: DataFrame, n_hashes: int = 32
+    shingled: DataFrame, n_hashes: int = 32, portable: bool = False
 ) -> DataFrame:
-    """(id, shingles, sig: array<long>) — sig[i] = min xxhash64(s, i)."""
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("shingles"), lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
-            for i in range(n_hashes)
-        ]
-    )
+    """(id, shingles, sig: array<long>) — sig[i] = min h_i(s)."""
+    if portable:
+        def h(s, i):
+            return phash.sig_hash(s, i)
+    else:
+        def h(s, i):
+            return F.xxhash64(s, F.lit(i))
+
+    # NB: the transform lambda must take exactly ONE parameter — a
+    # two-parameter lambda (e.g. the `lambda s, i=i` closure idiom)
+    # makes PySpark bind the ARRAY INDEX to the second parameter,
+    # silently replacing the hash-function index and collapsing all
+    # n_hashes signature slots into the same function.
+    def sig_col(i: int):
+        return F.array_min(F.transform(F.col("shingles"), lambda s: h(s, i)))
+
+    sig = F.array(*[sig_col(i) for i in range(n_hashes)])
     return shingled.withColumn("sig", sig)
 
 
 def _candidate_pairs(
-    signed: DataFrame, n_bands: int, rows_per_band: int, max_bucket: int
+    signed: DataFrame,
+    n_bands: int,
+    rows_per_band: int,
+    max_bucket: int,
+    portable: bool = False,
 ) -> DataFrame:
+    if portable:
+        def bh(b):
+            return phash.band_hash(
+                b, F.slice("sig", b * rows_per_band + 1, rows_per_band)
+            )
+    else:
+        def bh(b):
+            return F.xxhash64(
+                F.lit(b), F.slice("sig", b * rows_per_band + 1, rows_per_band)
+            )
     bands = signed.select(
         "id",
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b), F.slice("sig", b * rows_per_band + 1, rows_per_band)
-                    ).alias(f"b{b}")
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
+        F.explode(F.array(*[bh(b).alias(f"b{b}") for b in range(n_bands)])).alias(
+            "band"
+        ),
     )
     buckets = (
         bands.groupBy("band")
@@ -102,11 +129,16 @@ def minhash_near_duplicates(
     n_bands: int = 8,
     threshold: float = 0.7,
     max_bucket: int = 256,
+    portable: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for verified near-duplicate pairs.
 
     LSH recall knee is at t ≈ (1/b)^(1/r); defaults (b=8, r=4) put it
     near 0.59, comfortably below the 0.7 verify threshold.
+
+    ``portable=True`` runs the same pipeline on the cross-engine hash
+    family (phash) so the driver's DuckDB oracle value-checks the exact
+    output; the scale path keeps the xxhash64 intrinsics.
     """
     assert n_hashes % n_bands == 0
     r = n_hashes // n_bands
@@ -115,9 +147,9 @@ def minhash_near_duplicates(
     # shingling + 32 hash passes per doc run three times. At cluster
     # scale this is the natural stage checkpoint of the dedup pipeline.
     signed = minhash_signatures(
-        shingle_sets(df, col, id_col, shingle), n_hashes
+        shingle_sets(df, col, id_col, shingle, portable), n_hashes, portable
     ).localCheckpoint(eager=True)
-    cands = _candidate_pairs(signed, n_bands, r, max_bucket)
+    cands = _candidate_pairs(signed, n_bands, r, max_bucket, portable)
     sets = signed.select("id", "shingles")
     a = sets.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a")
     b = sets.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b")

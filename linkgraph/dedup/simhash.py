@@ -61,15 +61,32 @@ def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
 
 
 def simhash_signatures(
-    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, col: str = "text", id_col: str = "doc_id", portable: bool = False
 ) -> DataFrame:
-    """(id, simhash: long) per document."""
+    """(id, simhash: long) per document.
+
+    ``portable=True`` hashes tokens with the cross-engine 62-bit
+    polynomial family (phash.token_hash62) instead of xxhash64, so a
+    DuckDB oracle reproduces the exact signature: token-hash bits
+    61..63 are then zero in both engines, those signature bits vote
+    uniformly negative, and the vote kernel is unchanged.
+    """
+    from linkgraph.dedup import phash
+
     words = F.split(F.trim(F.lower(F.col(col))), r"\s+")
-    token_hashes = F.transform(words, lambda w: F.xxhash64(w))
-    return df.select(
-        F.col(id_col).alias("id"),
-        _simhash_from_hashes(token_hashes).alias("simhash"),
-    )
+    token_hash = phash.token_hash62 if portable else F.xxhash64
+    token_hashes = F.transform(words, lambda w: token_hash(w))
+    hashed = df.select(F.col(id_col).alias("id"), token_hashes.alias("th"))
+    if portable:
+        # Barrier between the HOF-heavy portable hash and the pandas
+        # UDF: with a Union below the projection, Catalyst pushes the
+        # combined expression into both branches and ExtractPythonUDFs
+        # then leaves the UDF inside an interpreted projection, which
+        # cannot evaluate it (Spark 4.1 internal error). Cutting the
+        # lineage gives the UDF a plain scan child. Portable mode only
+        # — the xxhash64 scale path keeps its single-pass plan.
+        hashed = hashed.localCheckpoint(eager=False)
+    return hashed.select("id", _simhash_from_hashes(F.col("th")).alias("simhash"))
 
 
 def simhash_near_duplicates(
@@ -78,11 +95,19 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket: int = 1024,
+    portable: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs within max_hamming bits."""
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
-    sigs = simhash_signatures(df, col, id_col)
+    # Materialize once (cf. minhash): the signature table feeds three
+    # consumers (chunk explode + both sides of the verify join), so the
+    # token hashing + vote kernel would otherwise run three times. Also
+    # required for plan correctness with the portable hash family: the
+    # HOF-heavy token-hash expression defeats ExtractPythonUDFs for one
+    # of the downstream consumers, leaving the pandas UDF inside an
+    # interpreted projection (unevaluable).
+    sigs = simhash_signatures(df, col, id_col, portable).localCheckpoint(eager=True)
     chunks = sigs.select(
         "id",
         "simhash",

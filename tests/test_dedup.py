@@ -110,3 +110,70 @@ def test_dedup_runs_on_documents_parquet(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     assert deduplicate_exact(df).count() <= df.count()
     assert minhash_near_duplicates(df.limit(100), threshold=0.9).count() >= 0
+
+
+# -- portable (cross-engine) hash family --------------------------------
+
+
+def _py_poly(s: str, mult: int, mod: int) -> int:
+    h = 0
+    for ch in s:
+        h = (h * mult + ord(ch)) % mod
+    return h
+
+
+def test_phash_matches_python_reference(spark):
+    from pyspark.sql import functions as F
+
+    from linkgraph.dedup import phash
+
+    rows = [("hello world foo",), ("",), ("a",), ("Word9 word10 word11",)]
+    df = spark.createDataFrame(rows, "s string")
+    got = [
+        (r["h1"], r["h62"])
+        for r in df.select(
+            phash.poly_hash(F.col("s")).alias("h1"),
+            phash.token_hash62(F.col("s")).alias("h62"),
+        ).collect()
+    ]
+    for (s,), (h1, h62) in zip(rows, got):
+        assert h1 == _py_poly(s, 31, phash.P1)
+        assert h62 == (_py_poly(s, 31, phash.P1) << 31) + _py_poly(s, 37, phash.P2)
+        assert 0 <= h62 < 2**62  # sign-safe, top bits clear in any engine
+
+
+def test_minhash_signature_slots_are_independent(spark):
+    """Regression for the transform-lambda arity bug: a two-parameter
+    lambda made PySpark bind the ARRAY INDEX as the hash-function index,
+    collapsing all 32 signature slots into one function. With distinct
+    per-slot functions, a multi-shingle doc's slots must not all agree."""
+    from linkgraph.dedup.minhash import minhash_signatures, shingle_sets
+
+    df = docs(spark, [BASE])
+    for portable in (False, True):
+        sig = (
+            minhash_signatures(shingle_sets(df, portable=portable), 32, portable)
+            .select("sig")
+            .collect()[0][0]
+        )
+        assert len(set(sig)) > 16, f"degenerate signature (portable={portable})"
+
+
+def test_portable_pipelines_match_duckdb_oracle(spark):
+    """The real contract behind the driver's minhash/simhash rows: the
+    portable-hash Spark pipeline and the pure-SQL DuckDB oracle produce
+    byte-identical pair sets on the same parquet documents table."""
+    duckdb = pytest.importorskip("duckdb")
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    oracles = entrymod.oracle_sql()
+    for name, fn in (
+        ("minhash_pairs", entrymod._q_minhash),
+        ("simhash_pairs", entrymod._q_simhash),
+    ):
+        sp = sorted(map(tuple, fn(spark, sf).collect()))
+        du = sorted(map(tuple, con.sql(oracles[name]).fetchall()))
+        assert sp == du, f"{name}: spark {len(sp)} rows vs duckdb {len(du)}"
