@@ -305,8 +305,11 @@ def _q_embedding_pairs(spark, sf):
 
 
 def _q_embedding_lsh(spark, sf):
+    # portable=True: deterministic mod-P hyperplanes + strictly
+    # sequential IEEE folds make every bucket key and cosine
+    # bit-identical to the DuckDB oracle (see dedup/phash.plane_coeff).
     emb = datasets.load(spark, sf, "embeddings")
-    return embedding_near_duplicates(emb, threshold=0.3).select(
+    return embedding_near_duplicates(emb, threshold=0.3, portable=True).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )
 
@@ -515,6 +518,54 @@ hm AS (SELECT id_a, id_b, bit_count(xor(sa.sh, sb.sh)) AS hamming
                  JOIN sig sb ON sb.id = cand.id_b)
 SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM hm
 WHERE hamming <= 3
+"""
+
+
+def _embedding_lsh_oracle() -> str:
+    """Random-hyperplane LSH in DuckDB on the portable plane family:
+    per (vector, plane) a strictly sequential dot-product fold (same
+    IEEE operation order as the Spark side, so every sign matches),
+    sign bits packed per table into bucket keys, capped buckets, exact
+    cosine verify. Mirrors _q_embedding_lsh (n_planes=12, n_tables=4,
+    cap=1024, threshold=0.3, dim=64)."""
+    from linkgraph.dedup import phash
+
+    coeff = (
+        f"((({phash._SEED_A} * (p * 64 + k) + {phash._SEED_B}) % {phash.P1})::DOUBLE"
+        f" / {float(phash.P1)} - 0.5)"
+    )
+
+    def fold(products: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, {products}), "
+            "(acc, x) -> acc + x)"
+        )
+
+    dot_vp = fold(f"list_transform(generate_series(1, 64), k -> vec[k] * {coeff})")
+    dot_ab = fold("list_transform(generate_series(1, 64), k -> va[k] * vb[k])")
+    norm_a = fold("list_transform(generate_series(1, 64), k -> va[k] * va[k])")
+    norm_b = fold("list_transform(generate_series(1, 64), k -> vb[k] * vb[k])")
+    return f"""
+WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+           FROM embeddings),
+pl AS (SELECT unnest(generate_series(0, 47)) AS p),
+dots AS (SELECT id, p, {dot_vp} AS d FROM v CROSS JOIN pl),
+keys AS (SELECT id, p // 12 AS t,
+           sum(CASE WHEN d > 0 THEN (1::BIGINT << (p % 12)) ELSE 0 END)::BIGINT
+             AS base
+         FROM dots GROUP BY id, p // 12),
+bk AS (SELECT id, base + (t::BIGINT << 32) AS bucket FROM keys),
+rk AS (SELECT id, bucket, row_number() OVER (PARTITION BY bucket ORDER BY id)
+         AS rn FROM bk),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM rk a JOIN rk b ON a.bucket = b.bucket AND a.id < b.id
+         WHERE a.rn <= 1024 AND b.rn <= 1024),
+cosd AS (SELECT id_a, id_b,
+           ({dot_ab}) / (sqrt({norm_a}) * sqrt({norm_b})) AS cosine
+         FROM (SELECT id_a, id_b, va.vec AS va, vb.vec AS vb
+               FROM cand JOIN v va ON va.id = cand.id_a
+                         JOIN v vb ON vb.id = cand.id_b))
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM cosd WHERE cosine >= 0.3
 """
 
 
@@ -824,7 +875,9 @@ SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8
         # LSH buckets, and verified pairs reproduce in DuckDB.
         "minhash_pairs": _minhash_oracle(),
         "simhash_pairs": _simhash_oracle(),
-        # no oracle (index-structure-dependent / approximate-recall by
-        # design): embedding_lsh (random-hyperplane LSH recall),
-        # media_features (decode stub is a seeded NumPy RNG).
+        # embedding_lsh likewise runs on portable deterministic
+        # hyperplanes with sequential IEEE folds (bit-identical signs).
+        "embedding_lsh": _embedding_lsh_oracle(),
+        # no oracle: media_features only (decode stub is a seeded NumPy
+        # RNG — engine-external by design; plumbing is rows-checked).
     }

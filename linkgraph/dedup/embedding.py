@@ -58,6 +58,45 @@ def cosine_expr(a: str, b: str) -> F.Column:
     return dot / (norm(a) * norm(b))
 
 
+def _portable_buckets(
+    vec: F.Column, n_planes: int, n_tables: int, dim: int
+) -> F.Column:
+    """Bucket-key array from deterministic pseudo-random hyperplanes,
+    entirely as Catalyst expressions — the cross-engine twin of the
+    numpy projector for oracle-checked paths (see dedup/phash.py).
+
+    Plane p's coefficient at 1-based dim k is phash.plane_coeff(
+    p*dim + k); the dot product is a strictly SEQUENTIAL left fold with
+    init 0.0, so the IEEE result (and hence every sign bit and bucket
+    key) is bit-identical in any engine that mirrors the operation
+    order — the DuckDB oracle does (list_reduce over the same
+    products).
+    """
+    from linkgraph.dedup import phash
+
+    def dot(p: int) -> F.Column:
+        # two-parameter transform lambda: (element, 0-based index)
+        prods = F.transform(
+            vec,
+            lambda x, d: x * phash.plane_coeff(F.lit(p * dim) + d + F.lit(1)),
+        )
+        return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+    keys = []
+    for t in range(n_tables):
+        base = sum(
+            (
+                F.when(dot(t * n_planes + j) > 0, F.lit(1 << j))
+                .otherwise(F.lit(0))
+                .cast("long")
+                for j in range(n_planes)
+            ),
+            start=F.lit(0).cast("long"),
+        )
+        keys.append(base + F.lit(t << 32).cast("long"))
+    return F.array(*keys)
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -67,12 +106,25 @@ def embedding_near_duplicates(
     n_tables: int = 4,
     seed: int = 42,
     max_bucket: int = 1024,
+    portable: bool = False,
 ) -> DataFrame:
-    """(id_a, id_b, cosine) for verified pairs with cosine >= threshold."""
-    project = _make_projector(n_planes, n_tables, seed)
+    """(id_a, id_b, cosine) for verified pairs with cosine >= threshold.
+
+    ``portable=True`` swaps the numpy-RNG hyperplanes for deterministic
+    mod-P pseudo-random planes evaluated as Catalyst expressions, so a
+    DuckDB oracle reproduces the exact buckets and verified pairs; the
+    default matmul projector stays the scale path (one BLAS call per
+    Arrow batch vs n_planes*n_tables expression folds per row).
+    """
+    vec_d = F.col(vec_col).cast("array<double>")
+    if portable:
+        dim = len(df.select(vec_col).first()[0])
+        bucket_keys = _portable_buckets(vec_d, n_planes, n_tables, dim)
+    else:
+        project = _make_projector(n_planes, n_tables, seed)
+        bucket_keys = project(vec_d)
     keyed = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(project(F.col(vec_col).cast("array<double>"))).alias("bucket"),
+        F.col(id_col).alias("id"), F.explode(bucket_keys).alias("bucket")
     )
     buckets = (
         keyed.groupBy("bucket")

@@ -87,3 +87,13 @@ def band_hash(b: int, values: Column) -> Column:
 def token_hash62(w: Column) -> Column:
     """62-bit non-negative token hash for SimHash bit votes."""
     return F.shiftleft(poly_hash(w, 31, P1), 31) + poly_hash(w, 37, P2)
+
+
+def plane_coeff(idx: Column) -> Column:
+    """Deterministic pseudo-random double in [-0.5, 0.5) from an integer
+    index — the portable replacement for the numpy hyperplane RNG in
+    embedding LSH. Integer part is exact mod-P arithmetic; the float
+    part is one literal division and one literal subtraction, so the
+    double is bit-identical across engines."""
+    num = (F.lit(_SEED_A) * idx + F.lit(_SEED_B)) % F.lit(P1)
+    return num.cast("double") / F.lit(float(P1)) - F.lit(0.5)

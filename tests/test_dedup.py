@@ -104,6 +104,13 @@ def test_embedding_near_duplicates_vs_bruteforce(spark):
         ).collect()
     }
     assert lsh == brute  # full recall at these settings on this input
+    portable = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(
+            df, threshold=0.95, n_planes=8, n_tables=8, portable=True
+        ).collect()
+    }
+    assert portable == brute  # deterministic-plane variant, same recall
 
 
 def test_dedup_runs_on_documents_parquet(spark):
@@ -169,10 +176,12 @@ def test_portable_pipelines_match_duckdb_oracle(spark):
     sf = "/root/testdata/sf0.001"
     con = duckdb.connect()
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
     oracles = entrymod.oracle_sql()
     for name, fn in (
         ("minhash_pairs", entrymod._q_minhash),
         ("simhash_pairs", entrymod._q_simhash),
+        ("embedding_lsh", entrymod._q_embedding_lsh),
     ):
         sp = sorted(map(tuple, fn(spark, sf).collect()))
         du = sorted(map(tuple, con.sql(oracles[name]).fetchall()))
