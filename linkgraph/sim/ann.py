@@ -176,13 +176,45 @@ def ivf_topk(
     )
     pruned = assigned.join(probe_df, "cell", "left_semi")
 
-    # Per-query cell masks: a query only scores batches from its probed
-    # cells. For simplicity each surviving batch scores all queries, and
-    # non-probed (query, cell) scores are filtered by the cell join at
-    # the candidate level; with per-query probing the kernel would carry
-    # the (query, cell) mask — at n_probe/n_cells sparsity the extra
-    # scored rows are bounded and the exactness of top-k is unaffected.
-    partial = pruned.drop("cell").mapInPandas(
-        _topk_kernel(qids, qmat, k), schema="query_id long, id long, score double"
+    # Per-query cell mask: query q scores ONLY vectors in its own
+    # n_probe cells (true IVF semantics). The mask ships inside the
+    # kernel closure as cell -> query-index array; each Arrow batch is
+    # partitioned by its (few, <= n_cells) distinct cells and does one
+    # sub-matmul per cell against just the probing queries — scored
+    # pairs are sum_q |rows in q's cells| instead of
+    # |union-of-all-probed cells| x |queries| (the previous shape, which
+    # scored ~n_cells/n_probe times more pairs at scale; exactness was
+    # never affected, only wasted compute).
+    cell_queries: dict[int, np.ndarray] = {
+        int(c): np.flatnonzero((probe == c).any(axis=1))
+        for c in np.unique(probe.reshape(-1))
+    }
+
+    def masked_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cells = pdf["cell"].to_numpy(np.int32)
+            ids = pdf["id"].to_numpy(np.int64)
+            mat = _normalize(np.stack(pdf["vec"].to_numpy()))
+            for c in np.unique(cells):
+                qsel = cell_queries.get(int(c))
+                if qsel is None or not len(qsel):
+                    continue
+                rows = np.flatnonzero(cells == c)
+                scores = mat[rows] @ qmat[qsel].T  # (rows, q_probing)
+                kk = min(k, len(rows))
+                top = np.argpartition(-scores, kk - 1, axis=0)[:kk]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids[qsel], kk),
+                        "id": ids[rows][top.T.reshape(-1)],
+                        "score": np.take_along_axis(scores, top, axis=0)
+                        .T.reshape(-1),
+                    }
+                )
+
+    partial = pruned.mapInPandas(
+        masked_kernel, schema="query_id long, id long, score double"
     )
     return _global_topk(partial, k)
