@@ -27,6 +27,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -122,6 +124,7 @@ def connected_components_delta(
     edges: DataFrame,
     checkpointer: Checkpointer | None = None,
     max_rounds: int = 200,
+    counters_out: list | None = None,
 ) -> DataFrame:
     """Min-label propagation with a DELTA WORKSET — the Flink reference's
     ``iterateDelta`` scheme (graph-mining-flink Truss.scala:156-188):
@@ -151,6 +154,7 @@ def connected_components_delta(
     )
     workset = labels  # round 1: every vertex announces its own id
     for step in range(max_rounds):
+        t_step = time.time()
         msgs = adj.join(workset.withColumnRenamed("id", "src"), "src").select(
             F.col("dst").alias("id"), "label"
         )
@@ -164,6 +168,14 @@ def connected_components_delta(
         n_improved = merged.where("improved").count()
         workset = merged.where("improved").select("id", "label")
         labels = merged.select("id", "label")
+        if counters_out is not None:
+            counters_out.append(
+                {
+                    "round": step,
+                    "workset": n_improved,
+                    "wall_s": round(time.time() - t_step, 3),
+                }
+            )
         if n_improved == 0:
             break
     adj.unpersist()

@@ -199,6 +199,7 @@ def max_truss(
     edges: DataFrame,
     k0: int = 4,
     checkpointer: Checkpointer | None = None,
+    reuse_triangles: bool = True,
 ) -> MaxTrussResult:
     """Maximum-k truss via the reference's gallop/bisect search
     (MaximalTruss.scala:19-63): probe k; empty -> bisect down toward
@@ -237,7 +238,7 @@ def max_truss(
             "src", "dst"
         )
         tri0 = None
-        if cur_tri is not None:
+        if reuse_triangles and cur_tri is not None:
             tri0 = _alive_triangles(cur_tri, pruned, None, n_alive=cur_n)
         res = k_truss(pruned, k, ckpt, tri=tri0)
         probes.append(
