@@ -254,35 +254,51 @@ def _run_pairs(lo: np.ndarray, hi: np.ndarray) -> pd.DataFrame:
     return pd.DataFrame({"a": lo[base], "b": hi[base + i], "c": hi[base + j]})
 
 
-def _csr_batch_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: wedge generation over CSR-packed partitions.
+def _csr_batch_iter(batches) -> Iterator:
+    """mapInArrow kernel: wedge generation over CSR-packed partitions.
 
     The input partition is hash-distributed by anchor vertex and sorted
     within the partition by (lo, hi_deg, hi) — i.e. the partition IS a
     sorted-CSR block stream. A run may span Arrow batch boundaries, so
     rows of the last (possibly incomplete) run are carried into the next
     batch; the carry is flushed at end-of-partition.
+
+    Arrow in / Arrow out (no pandas Series materialization): each batch
+    is two zero-copy int64 views and each output is one RecordBatch
+    built straight from the NumPy pair arrays — the per-batch Python
+    cost is the NumPy kernel alone.
     """
-    carry: pd.DataFrame | None = None
-    for pdf in batches:
-        if carry is not None and len(carry):
-            pdf = pd.concat([carry, pdf], ignore_index=True)
-        if pdf.empty:
-            carry = None
-            continue
-        lo = pdf["lo"].to_numpy(np.int64)
-        last = lo[-1]
-        cut = int(np.searchsorted(lo, last, side="left"))
-        carry = pdf.iloc[cut:]
-        head = pdf.iloc[:cut]
-        if len(head):
-            yield _run_pairs(
-                head["lo"].to_numpy(np.int64), head["hi"].to_numpy(np.int64)
-            )
-    if carry is not None and len(carry):
-        yield _run_pairs(
-            carry["lo"].to_numpy(np.int64), carry["hi"].to_numpy(np.int64)
+    import pyarrow as pa
+
+    def np_col(batch: "pa.RecordBatch", name: str) -> np.ndarray:
+        return batch.column(name).to_numpy(zero_copy_only=False)
+
+    def out(df: pd.DataFrame) -> "pa.RecordBatch":
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(df["a"].to_numpy(np.int64), type=pa.int64()),
+                pa.array(df["b"].to_numpy(np.int64), type=pa.int64()),
+                pa.array(df["c"].to_numpy(np.int64), type=pa.int64()),
+            ],
+            names=["a", "b", "c"],
         )
+
+    carry_lo = carry_hi = None
+    for batch in batches:
+        lo = np_col(batch, "lo")
+        hi = np_col(batch, "hi")
+        if carry_lo is not None and carry_lo.size:
+            lo = np.concatenate([carry_lo, lo])
+            hi = np.concatenate([carry_hi, hi])
+        if not lo.size:
+            carry_lo = carry_hi = None
+            continue
+        cut = int(np.searchsorted(lo, lo[-1], side="left"))
+        carry_lo, carry_hi = lo[cut:], hi[cut:]
+        if cut:
+            yield out(_run_pairs(lo[:cut], hi[:cut]))
+    if carry_lo is not None and carry_lo.size:
+        yield out(_run_pairs(carry_lo, carry_hi))
 
 
 def _wedges_csr(oriented: DataFrame) -> DataFrame:
@@ -292,7 +308,7 @@ def _wedges_csr(oriented: DataFrame) -> DataFrame:
         .repartition(_explode_parts(oriented), "lo")
         .sortWithinPartitions("lo", "hi_deg", "hi")
     )
-    return csr.mapInPandas(_csr_batch_iter, schema=_WEDGE_SCHEMA)
+    return csr.mapInArrow(_csr_batch_iter, schema=_WEDGE_SCHEMA)
 
 
 _WEDGE_KERNELS = {"sql": _wedges_sql, "join": _wedges_join, "csr": _wedges_csr}
