@@ -134,26 +134,32 @@ artifacts that only ever LOWER the reported efficiency:
 The strong-scaling-constants artifact above predicts that the lc:1 ->
 lc:4 efficiency recovers once per-superstep compute dominates the
 2-4 s executor-mode fixed costs. Measured (same protocol: fresh JVMs,
-interleaved levels, 2 reps, best-of; 12M files -> 37,199,478 edges /
-36,036,807 triangles; raw log BENCH/scaling_37m.log):
+interleaved levels, best-of accumulated across suite executions; 12M
+files -> 37,199,478 edges / 36,036,807 triangles; raw logs
+BENCH/scaling_37m.log + BENCH/scaling_37m_r2.log — triangle numbers
+from the r2 log only, whose runs include the bounded-SHJ close-join
+scale path; PageRank code is identical across both logs, so its
+best-of pools them):
 
 | level | triangle wall | tri edges/s | PR loop | PR edges/s/superstep |
 |---|---|---|---|---|
-| 1 executor × 8 cores | 213.2 s | 174,498 | 117.3 s | 2,536,119 |
-| 4 executors × 8 cores | 283.9 s | 131,032 | 38.3 s | 7,765,463 |
+| 1 executor × 8 cores | 212.9 s | 174,761 | 117.3 s | 2,536,119 |
+| 4 executors × 8 cores | 136.9 s | 271,728 | 38.3 s | 7,765,463 |
 
 PageRank efficiency 1 -> 4 executors: **0.77** (vs 0.49 at 9.3M
 edges) — wall-to-convergence improves 3.1x, steady supersteps go
 15 s -> 4.5 s, exactly the amortization the toy-size caveat predicts;
 the remaining gap to the cluster yardstick is the shared memory
 controller plus residual 0.5-1.5 s/superstep stall noise visible in
-the raw walls. Triangle efficiency stays low (0.19): its wedge
-materialization shuffles O(sum deg^2) rows across JVMs through one
-DRAM controller and one loopback — on a physical 4-node cluster that
-stage brings 4x memory channels and 4x NIC/disk bandwidth, while here
-4 JVMs contend for one of each (lc:4 triangle wall is WORSE than
-lc:1; thread-mode local[32] on this same graph does 161.8 s, so the
-slowdown is cross-JVM data movement, not compute).
+the raw walls. Triangle efficiency 1 -> 4 executors: **0.39** — up
+from 0.19 before the close-join scale path (past the 20M-edge
+broadcast limit the close previously fell back to a SortMergeJoin
+that SORTED the O(sum deg^2) wedge stream; the bounded shuffled-hash
+build never sorts it, and the lc:4 triangle wall dropped 283.9 s ->
+136.9 s on identical input, now beating lc:1 instead of losing to
+it). The remaining gap is the wedge exchange crossing 4 JVMs through
+ONE DRAM controller and one loopback — on a physical 4-node cluster
+that stage brings 4x memory channels and 4x NIC/disk bandwidth.
 
 ## Supplementary measurements
 
