@@ -695,6 +695,13 @@ pr(it, id, rank) AS (
   GROUP BY it, b.dst)
 SELECT id, round(rank, 6) AS rank FROM pr WHERE it = 20
 """,
+        # Stop rule mirrors labelprop.py: the loop ends at the FIRST
+        # round t whose state equals state(t-1) (fixpoint) or
+        # state(t-2) (a terminal period-2 orbit — the update is
+        # deterministic, so the two phases alternate forever), and
+        # outputs least(state(t), state(t-1)) per vertex — which IS
+        # state(t) in the fixpoint case. Without detection inside 20
+        # rounds the output is state(20) (the loop's max_iter).
         "label_propagation": f"""
 WITH RECURSIVE {_E_SPARSE},
 lp(it, id, label) AS (
@@ -706,8 +713,24 @@ lp(it, id, label) AS (
                               ORDER BY count(*) DESC, lp.label ASC) AS rn
     FROM lp JOIN b ON lp.id = b.dst
     WHERE it < 20
-    GROUP BY it, b.src, lp.label) WHERE rn = 1)
-SELECT id, label FROM lp WHERE it = 20
+    GROUP BY it, b.src, lp.label) WHERE rn = 1),
+mism AS (
+  SELECT a.it AS t,
+         count(*) FILTER (WHERE a.label != b1.label) AS d1,
+         count(*) FILTER (WHERE b2.label IS NULL OR a.label != b2.label) AS d2
+  FROM lp a
+  JOIN lp b1 ON b1.id = a.id AND b1.it = a.it - 1
+  LEFT JOIN lp b2 ON b2.id = a.id AND b2.it = a.it - 2
+  WHERE a.it >= 1
+  GROUP BY a.it),
+tstar AS (SELECT min(t) AS t FROM mism WHERE d1 = 0 OR d2 = 0)
+SELECT a.id,
+       CASE WHEN (SELECT t FROM tstar) IS NULL THEN a.label
+            ELSE least(a.label, p.label) END AS label
+FROM lp a
+JOIN lp p ON p.id = a.id
+         AND p.it = (SELECT coalesce(t, 20) FROM tstar) - 1
+WHERE a.it = (SELECT coalesce(t, 20) FROM tstar)
 """,
         "ktruss_4": f"""
 WITH RECURSIVE {_E_TRUSS}, {_peel_cte('2')}, {_PEEL_CHK}

@@ -120,9 +120,10 @@ def main() -> None:
 def _fmt_lpa_rounds(rec: dict) -> str:
     rows = []
     for c in rec["counters"]:
+        c2 = c.get("changed_vs_2_rounds_ago")
         rows.append(
             f"| {c['iteration']} | {c['mode']} | {c['changed']:,} | "
-            f"{c['wall_s']:.2f} s |"
+            f"{c2 if c2 is not None else '—'} | {c['wall_s']:.2f} s |"
         )
     return "\n".join(rows)
 
@@ -166,22 +167,38 @@ Below _DELTA_FRACTION changed vertices, a round recomputes votes only
 for vertices with a changed neighbor. Fixpoint equality with the full
 recomputation is asserted in-run (checksum over (id, label)).
 
-Best delta-mode run, per round:
+Best delta-mode run, per round (chg2 = vertices whose label differs
+from two rounds back — the period-2 detector's metric):
 
-| round | mode | changed | wall |
-|---|---|---|---|
+| round | mode | changed | chg2 | wall |
+|---|---|---|---|---|
 {_fmt_lpa_rounds(d0)}
 
 Full-recompute control (same convergence, every round O(E)):
 
-| round | mode | changed | wall |
-|---|---|---|---|
+| round | mode | changed | chg2 | wall |
+|---|---|---|---|---|
 {_fmt_lpa_rounds(f0)}
 
-Delta loop total {sum(c['wall_s'] for c in d0['counters']):.1f} s vs
-full {sum(c['wall_s'] for c in f0['counters']):.1f} s; the per-round
-walls show the delta rounds' cost tracking the shrinking workset
-instead of staying O(E).
+Honest reading at this scale: the WORKSET decays sharply (the
+`changed` column) but the WALLS do not — at 1.2M edges a round's cost
+is floored by per-job fixed overhead (~0.3 s), so delta ≈ parity here.
+The delta path's term is O(edges incident to candidates) vs O(E); it
+is the dominant term exactly when E is large enough that fixed costs
+are noise, which the sf0.1 fixture cannot exhibit. The gate
+(_DELTA_FRACTION) keeps the candidate distinct from ever costing more
+than it saves.
+
+Related finding (measured on the 37M-edge import graph): synchronous
+LPA there never reaches a fixpoint — ~100% of vertices flip labels
+every round while the state two rounds back converges toward identity
+(period-2 orbits; symmetric threshold dynamics have eventual period
+<= 2). labelprop.py now proves the orbit via state(t+1) == state(t-1)
+inside the existing single per-round aggregate, stops, and
+canonicalizes to the per-vertex minimum of the two phase labels — so
+oscillating graphs terminate instead of burning max_iter rounds of
+full-graph churn (which also starved the delta path: every round
+looked like 100% change).
 
 ## 3. Connected components: delta iteration vs large-star/small-star
 

@@ -21,6 +21,21 @@ with a changed neighbor ("candidates") — everyone else provably keeps
 their label. Late converging rounds then cost O(edges incident to
 candidates), not O(E). The fixpoint is bit-identical to full
 recomputation (pinned in tests/test_labelprop.py).
+
+Period-2 termination: synchronous LPA on bipartite-like structure
+famously never reaches a fixpoint — vertices flip between two labels
+every round (measured on the 37M-edge import graph: ~100% of vertices
+"change" per round forever while the state two rounds back is nearly
+identical; symmetric threshold dynamics have eventual period <= 2,
+Goles & Olivos 1980). Because the update is deterministic, observing
+state(t+1) == state(t-1) PROVES the orbit is a terminal 2-cycle: every
+later state alternates between the two phases and the plain `changed`
+count never reaches 0. The loop therefore carries each vertex's
+previous label, folds a second conditional count (label vs two rounds
+back) into the SAME per-round aggregate (still exactly one driver
+action), and on period-2 detection stops and canonicalizes each
+vertex's label to the MINIMUM of its two phase labels — deterministic,
+order-independent, and identical for both phase alignments.
 """
 
 from __future__ import annotations
@@ -51,6 +66,7 @@ class LPAResult:
     iterations: int
     changed: int                # vertices changed in the last round
     counters: list[dict] = field(default_factory=list)
+    oscillating: bool = False   # stopped at a period-2 orbit, not a fixpoint
 
 
 def label_propagation(
@@ -95,14 +111,25 @@ def label_propagation(
     # of a delta round).
     start_it = 1
     changed_ids: DataFrame | None = None  # None == "all" (full round)
+    # prev = each vertex's label one round earlier (period-2 detection);
+    # initialized to the current label, under which round 1 can only
+    # report chg2 == 0 if it is already a true fixpoint.
     latest = ckpt.latest()
     if latest is not None:
         loaded, _manifest = ckpt.load(latest)
-        labels = loaded.select("id", "label")
+        cols = set(loaded.columns)
+        labels = loaded.select(
+            "id", "label", *( ["prev"] if "prev" in cols else [] )
+        )
+        if "prev" not in cols:  # checkpoint from an older run
+            labels = labels.withColumn("prev", F.col("label"))
         start_it = latest + 1
+    else:
+        labels = labels.withColumn("prev", F.col("label"))
 
     counters: list[dict] = []
     changed = n_vertices
+    oscillating = False
     it = start_it - 1
     for it in range(start_it, max_iter + 1):
         t_step = time.time()
@@ -133,7 +160,7 @@ def label_propagation(
                 )
         else:
             voters = adj
-        lab = labels.withColumnRenamed("id", "dst")
+        lab = labels.select("id", "label").withColumnRenamed("id", "dst")
         nbr_labels = voters.join(F.broadcast(lab) if small else lab, "dst").select(
             F.col("src").alias("id"), "label"
         )
@@ -144,31 +171,57 @@ def label_propagation(
         ).select("id", (-F.col("w.neg")).alias("new_label"))
         if small:
             winner = F.broadcast(winner)
+        new = F.coalesce("new_label", "label")
         merged = labels.join(winner, "id", "left_outer").select(
             "id",
-            F.coalesce("new_label", "label").alias("label"),
-            (F.coalesce("new_label", "label") != F.col("label")).alias("chg"),
+            new.alias("label"),
+            F.col("label").alias("prev"),
+            (new != F.col("label")).alias("chg"),
+            (new != F.col("prev")).alias("chg2"),
         )
-        # lazy checkpoint + count = ONE job per superstep: the changed-
-        # vertex count materializes the checkpointed state it reads.
+        # lazy checkpoint + one aggregate = ONE job per superstep: the
+        # conditional counts (changed vs last round, changed vs two
+        # rounds back) materialize the checkpointed state they read.
         # Shuffle mode + durable checkpoints: bucket the label state on
         # id so next round's joins skip the per-round state exchange
         # (see pagerank / PLANS.md shuffle-mode gap).
         merged = ckpt.save(
             merged, it, eager=False, bucket_cols=None if small else ["id"]
         )
-        changed = merged.where("chg").count()
+        row = merged.agg(
+            F.count(F.when(F.col("chg"), 1)).alias("c1"),
+            F.count(F.when(F.col("chg2"), 1)).alias("c2"),
+        ).collect()[0]
+        changed, changed2 = row["c1"], row["c2"]
         changed_ids = merged.where("chg").select("id")
-        labels = merged.select("id", "label")
+        labels = merged.select("id", "label", "prev")
         counters.append(
             {
                 "iteration": it,
                 "changed": changed,
+                "changed_vs_2_rounds_ago": changed2,
                 "mode": "delta" if use_delta else "full",
                 "wall_s": time.time() - t_step,
             }
         )
         if changed == 0:
             break
+        if changed2 == 0:
+            # state(t+1) == state(t-1): a terminal period-2 orbit (the
+            # update is deterministic, so both phases now alternate
+            # forever and `changed` never reaches 0). Canonicalize each
+            # oscillating vertex to the minimum of its two phase labels
+            # — identical whichever phase the loop stopped in.
+            oscillating = True
+            labels = merged.select(
+                "id", F.least("label", "prev").alias("label"), "prev"
+            )
+            break
     adj.unpersist()
-    return LPAResult(labels=labels, iterations=it, changed=changed, counters=counters)
+    return LPAResult(
+        labels=labels.select("id", "label"),
+        iterations=it,
+        changed=changed,
+        counters=counters,
+        oscillating=oscillating,
+    )

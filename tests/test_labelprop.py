@@ -70,3 +70,27 @@ def test_delta_workset_matches_full_recompute(spark, truss_mini, monkeypatch):
         assert any(c["mode"] == "delta" for c in delta_sh.counters)
         assert labels_dict(full.labels) == labels_dict(delta_sh.labels)
         monkeypatch.setattr(lpa_mod, "_BROADCAST_LABELS_LIMIT", 5_000_000)
+
+
+def test_period2_oscillation_detected_and_canonicalized(spark):
+    """Synchronous LPA on an even cycle never reaches a fixpoint — it
+    settles into a period-2 orbit (all-odd / all-even phase labels).
+    The loop must prove the orbit via state(t+1) == state(t-1), stop
+    early, and canonicalize each vertex to the min of its two phase
+    labels — here the single community label 0."""
+    c4 = canonicalize(edge_df(spark, [(0, 1), (1, 2), (2, 3), (3, 0)]))
+    res = label_propagation(c4, max_iter=50)
+    assert res.oscillating
+    assert res.iterations < 50
+    assert set(labels_dict(res.labels).values()) == {0}
+    # deterministic across phase alignments: a second run agrees exactly
+    res2 = label_propagation(c4, max_iter=50)
+    assert labels_dict(res.labels) == labels_dict(res2.labels)
+
+
+def test_converging_graphs_unaffected_by_period2_rule(spark):
+    """On a plainly converging graph the oscillation branch must never
+    fire and the fixpoint must equal the pre-rule semantics."""
+    res = label_propagation(canonicalize(complete_graph(spark, 6)))
+    assert not res.oscillating and res.changed == 0
+    assert all(c["changed_vs_2_rounds_ago"] is not None for c in res.counters)
