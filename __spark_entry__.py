@@ -42,6 +42,8 @@ from linkgraph.graph.components import component_of_edges, connected_components
 from linkgraph.graph.labelprop import label_propagation
 from linkgraph.graph.pagerank import pagerank
 from linkgraph.graph.triangles import clustering_coefficient, edge_support, triangles
+from linkgraph.graph.kcore import k_core
+from linkgraph.graph.triangles import transitivity
 from linkgraph.graph.truss import k_truss_components
 from linkgraph.graph.truss import k_truss, max_truss
 from linkgraph.multimodal.media import extract_features, synthetic_media
@@ -88,6 +90,7 @@ tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
 # sf0.01 and rounds past the fixpoint are idempotent, so a fixed
 # recursion depth of 10 compares fixpoint-to-fixpoint.
 _PEEL_MAXIT = 10
+_KCORE_MAXIT = 40
 
 
 def _peel_cte(km2: str, maxit: int = _PEEL_MAXIT) -> str:
@@ -252,6 +255,30 @@ def _q_ktruss_components(spark, sf):
     return k_truss_components(datasets.co_purchase_edges(spark, sf, min_quantity=40), k=4)
 
 
+def _q_kcore4(spark, sf):
+    res = k_core(datasets.co_purchase_edges(spark, sf, min_quantity=40), k=4)
+    return res.edges.select("src", "dst")
+
+
+def _q_transitivity(spark, sf):
+    t = transitivity(datasets.co_purchase_edges(spark, sf))
+    return t.select(
+        "n_triangles", "n_wedges", F.round("transitivity", 6).alias("transitivity")
+    )
+
+
+def _q_ppr(spark, sf):
+    # Personalized PageRank from the 3 smallest vertex ids (the oracle
+    # derives the identical seed set with ORDER BY id LIMIT 3).
+    edges = datasets.sparse_edges(spark, sf)
+    seeds = [
+        r["id"]
+        for r in E.degrees(edges).select("id").orderBy("id").limit(3).collect()
+    ]
+    res = pagerank(edges, max_iter=20, tol=0.0, sources=seeds)
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
 def _q_clustering(spark, sf):
     cc = clustering_coefficient(datasets.co_purchase_edges(spark, sf))
     return cc.select(
@@ -402,6 +429,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": _q_lpa,
         "ktruss_4": _q_ktruss4,
         "ktruss_components": _q_ktruss_components,
+        "kcore_4": _q_kcore4,
+        "transitivity": _q_transitivity,
+        "pagerank_personalized": _q_ppr,
         "clustering_coefficient": _q_clustering,
         "max_truss": _q_max_truss,
         "dedup_exact": _q_dedup_exact,
@@ -695,6 +725,30 @@ pr(it, id, rank) AS (
   GROUP BY it, b.dst)
 SELECT id, round(rank, 6) AS rank FROM pr WHERE it = 20
 """,
+        # Personalized PageRank: identical recursion with the teleport
+        # (and, were there any, dangling) mass returned only to the
+        # seed set — the 3 smallest vertex ids, matching _q_ppr.
+        "pagerank_personalized": f"""
+WITH RECURSIVE {_E_SPARSE},
+deg AS (SELECT src AS id, count(*) AS out_deg FROM b GROUP BY src),
+seeds AS (SELECT id FROM deg ORDER BY id LIMIT 3),
+pr(it, id, rank) AS (
+  SELECT 0, deg.id,
+         CASE WHEN deg.id IN (SELECT id FROM seeds)
+              THEN CAST(1.0 AS DOUBLE) / 3 ELSE CAST(0.0 AS DOUBLE) END
+  FROM deg
+  UNION ALL
+  SELECT it + 1, t.id,
+         CASE WHEN t.id IN (SELECT id FROM seeds)
+              THEN CAST(0.15 AS DOUBLE) / 3 ELSE CAST(0.0 AS DOUBLE) END
+         + CAST(0.85 AS DOUBLE) * t.contrib
+  FROM (
+    SELECT it, b.dst AS id, sum(pr.rank / deg.out_deg) AS contrib
+    FROM pr JOIN b ON pr.id = b.src JOIN deg ON deg.id = b.src
+    WHERE it < 20
+    GROUP BY it, b.dst) t)
+SELECT id, round(rank, 6) AS rank FROM pr WHERE it = 20
+""",
         # Stop rule mirrors labelprop.py: the loop ends at the FIRST
         # round t whose state equals state(t-1) (fixpoint) or
         # state(t-2) (a terminal period-2 orbit — the update is
@@ -735,6 +789,45 @@ WHERE a.it = (SELECT coalesce(t, 20) FROM tstar)
         "ktruss_4": f"""
 WITH RECURSIVE {_E_TRUSS}, {_peel_cte('2')}, {_PEEL_CHK}
 SELECT src, dst FROM peel, chk WHERE it = {_PEEL_MAXIT}
+""",
+        # k-core: same fixed-depth peel pattern as ktruss_4, with edge
+        # support replaced by vertex degree and the same convergence
+        # guard shape (error if the edge set is still shrinking at the
+        # recursion cap). Degree peeling removes one shell layer per
+        # round, so it needs a deeper cap than the truss peel.
+        "kcore_4": f"""
+WITH RECURSIVE {_E_TRUSS},
+kc(it, src, dst) AS (
+  SELECT 0, src, dst FROM e
+  UNION ALL
+  SELECT * FROM (
+    WITH cur AS (SELECT src, dst FROM kc),
+    deg AS (SELECT id, count(*) AS d FROM
+            (SELECT src AS id FROM cur UNION ALL SELECT dst FROM cur)
+            GROUP BY id),
+    keep AS (SELECT id FROM deg WHERE d >= 4)
+    SELECT (SELECT max(it) FROM kc) + 1, cur.src, cur.dst
+    FROM cur JOIN keep ka ON ka.id = cur.src
+             JOIN keep kb ON kb.id = cur.dst
+  ) t
+  WHERE (SELECT max(it) FROM kc) < {_KCORE_MAXIT}
+),
+kchk AS (SELECT CASE WHEN
+           (SELECT count(*) FROM kc WHERE it = {_KCORE_MAXIT})
+           <> (SELECT count(*) FROM kc WHERE it = {_KCORE_MAXIT - 1})
+         THEN error('kcore oracle: not at fixpoint at maxit')
+         ELSE 1 END AS ok)
+SELECT src, dst FROM kc, kchk WHERE it = {_KCORE_MAXIT}
+""",
+        "transitivity": f"""
+WITH {_E_DENSE}, {_TRI},
+tcount AS (SELECT count(*) AS nt FROM tri),
+deg AS (SELECT id, count(*) AS degree FROM
+        (SELECT src AS id FROM e UNION ALL SELECT dst FROM e) GROUP BY id),
+w AS (SELECT sum(degree * (degree - 1) / 2) AS nw FROM deg)
+SELECT CAST(nt AS BIGINT) AS n_triangles, CAST(nw AS BIGINT) AS n_wedges,
+       round(3.0 * nt / nw, 6) AS transitivity
+FROM tcount, w
 """,
         "ktruss_components": f"""
 WITH RECURSIVE {_E_TRUSS}, {_peel_cte('2')}, {_PEEL_CHK},

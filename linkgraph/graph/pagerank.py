@@ -59,11 +59,21 @@ def pagerank(
     max_iter: int = 100,
     directed: bool = False,
     checkpointer: Checkpointer | None = None,
+    sources: list[int] | None = None,
 ) -> PageRankResult:
     """PageRank over the canonical edge table.
 
     ``directed=False`` (default, link-graph mode) treats each undirected
     edge as two directed links. Returns ranks summing to 1.
+
+    ``sources`` switches to PERSONALIZED PageRank: rank initializes
+    uniformly over the seed set and all teleport mass — the (1-d) share
+    and any dangling mass — returns to the seeds instead of spreading
+    uniformly, so ranks measure proximity to the seeds (unreachable
+    vertices converge to 0). The seed list is a bounded driver-side
+    literal (typical PPR usage: one entity / a handful of seeds); it
+    compiles to an `IN` predicate, so no extra join enters the
+    superstep plan.
     """
     spark = edges.sparkSession
     ckpt = checkpointer or Checkpointer(spark, job="pagerank")
@@ -115,6 +125,22 @@ def pagerank(
             delta=0.0,
         )
 
+    # Personalized mode: rank and every teleport return concentrate on
+    # the seed set (member predicate compiles into the projection; the
+    # teleport denominator becomes |S|).
+    if sources:
+        # dedupe: a repeated seed must not shrink the per-seed teleport
+        # share (the member predicate is a set; the denominator must be
+        # the set's size or total mass silently drops below 1).
+        seed_set = sorted({int(s) for s in sources})
+        n_tele = len(seed_set)
+        member = F.col("id").isin(seed_set)
+        init_rank = F.when(member, F.lit(1.0 / n_tele)).otherwise(F.lit(0.0))
+    else:
+        n_tele = n
+        member = None
+        init_rank = F.lit(1.0 / n)
+
     # (id, rank, out_deg); dangling vertices have out_deg null -> 0.
     if directed:
         out_deg = links.groupBy(F.col("src").alias("id")).agg(
@@ -124,7 +150,7 @@ def pagerank(
             vertices.join(out_deg, "id", "left_outer")
             .select(
                 "id",
-                F.lit(1.0 / n).alias("rank"),
+                init_rank.alias("rank"),
                 F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
             )
             .localCheckpoint(eager=True)
@@ -133,9 +159,7 @@ def pagerank(
     else:
         # deg_state is already checkpointed; adding the uniform rank is a
         # narrow projection, and mirrored links mean out_deg >= 1 always.
-        state = deg_state.select(
-            "id", F.lit(1.0 / n).alias("rank"), "out_deg"
-        )
+        state = deg_state.select("id", init_rank.alias("rank"), "out_deg")
         has_dangling = False
 
     # Dangling mass for round 1 comes from the uniform init (one cheap
@@ -146,9 +170,14 @@ def pagerank(
     # checkpoint materialization itself is the round's only job. Per-job
     # fixed cost is what caps scaling efficiency of cheap supersteps.
     check_delta = tol > 0.0
-    # uniform init: every dangling vertex holds rank 1/n
+    # init dangling mass = sum of initial ranks on dangling vertices
+    # (uniform: count/n; personalized: whatever seeds are dangling)
     dangling = (
-        state.where(F.col("out_deg") == 0).count() / n if has_dangling else 0.0
+        state.where(F.col("out_deg") == 0)
+        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+        .collect()[0][0]
+        if has_dangling
+        else 0.0
     )
 
     # Resume: with a durable checkpoint dir, pick up mid-iteration from
@@ -180,14 +209,19 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("w").alias("contrib"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
+        base = (1.0 - damping) / n_tele + damping * dangling / n_tele
+        base_col = (
+            F.when(member, F.lit(base)).otherwise(F.lit(0.0))
+            if member is not None
+            else F.lit(base)
+        )
         if small_state:
             contribs = F.broadcast(contribs)
         new_state = state.join(
             contribs, state["id"] == contribs["dst"], "left_outer"
         ).select(
             "id",
-            (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias(
+            (base_col + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias(
                 "new_rank"
             ),
             "rank",

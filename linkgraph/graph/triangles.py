@@ -376,6 +376,29 @@ def clustering_coefficient(edges: DataFrame, strategy: str = "join") -> DataFram
     )
 
 
+def transitivity(edges: DataFrame, strategy: str = "join") -> DataFrame:
+    """Global clustering coefficient, one row:
+    (n_triangles, n_wedges, transitivity = 3 * triangles / wedges).
+
+    n_wedges counts unordered connected vertex triples centred anywhere:
+    sum over v of C(deg(v), 2) — one degree aggregation plus a scalar
+    fold, so the cost beyond the triangle kernel is negligible.
+    """
+    n_tri = triangle_count(edges, strategy)
+    deg = E.degrees(edges)
+    wedges = deg.agg(
+        F.coalesce(
+            F.sum(F.col("degree") * (F.col("degree") - 1) / 2), F.lit(0.0)
+        ).alias("n_wedges")
+    ).collect()[0]["n_wedges"]
+    spark = edges.sparkSession
+    t = 3.0 * n_tri / wedges if wedges else 0.0
+    return spark.createDataFrame(
+        [(int(n_tri), int(wedges), float(t))],
+        "n_triangles long, n_wedges long, transitivity double",
+    )
+
+
 def edge_support(tri: DataFrame) -> DataFrame:
     """Per-edge triangle count (support): (src, dst, support).
 

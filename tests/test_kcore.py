@@ -1,0 +1,72 @@
+"""k-core decomposition and global transitivity tests."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from linkgraph.graph.edges import canonicalize
+from linkgraph.graph.kcore import core_numbers, k_core
+from linkgraph.graph.triangles import transitivity
+from tests.conftest import TRUSS_MINI, complete_graph, edge_df
+
+
+def _py_k_core(pairs, k):
+    """Reference peel: drop vertices with degree < k until stable."""
+    edges = {tuple(sorted(p)) for p in pairs}
+    while True:
+        deg = Counter()
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        low = {v for v, d in deg.items() if d < k}
+        if not low:
+            return edges
+        edges = {e for e in edges if low.isdisjoint(e)}
+
+
+def _py_core_numbers(pairs, k_max=64):
+    verts = {v for p in pairs for v in p}
+    core = {v: 1 for v in verts}
+    edges = {tuple(sorted(p)) for p in pairs}
+    for k in range(2, k_max + 1):
+        edges = _py_k_core(edges, k)
+        if not edges:
+            break
+        for v in {v for e in edges for v in e}:
+            core[v] = k
+    return core
+
+
+def test_k_core_matches_reference_peel(spark, truss_mini):
+    for k in (2, 3, 4, 5):
+        res = k_core(truss_mini, k)
+        got = {tuple(sorted((r["src"], r["dst"]))) for r in res.edges.collect()}
+        assert got == _py_k_core(TRUSS_MINI, k), k
+        assert res.n_edges == len(got)
+
+
+def test_k_core_monotone_in_k(spark, truss_mini):
+    prev = None
+    for k in (2, 3, 4, 5, 6):
+        cur = {
+            tuple(sorted((r["src"], r["dst"])))
+            for r in k_core(truss_mini, k).edges.collect()
+        }
+        if prev is not None:
+            assert cur <= prev
+        prev = cur
+
+
+def test_core_numbers_match_reference(spark, truss_mini):
+    got = {r["id"]: r["core"] for r in core_numbers(truss_mini).collect()}
+    assert got == _py_core_numbers(TRUSS_MINI)
+
+
+def test_transitivity_complete_and_path(spark):
+    k5 = canonicalize(complete_graph(spark, 5))
+    row = transitivity(k5).collect()[0]
+    assert (row["n_triangles"], row["n_wedges"]) == (10, 30)
+    assert row["transitivity"] == 1.0
+    path = canonicalize(edge_df(spark, [(1, 2), (2, 3), (3, 4)]))
+    row = transitivity(path).collect()[0]
+    assert row["n_triangles"] == 0 and row["transitivity"] == 0.0

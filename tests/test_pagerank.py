@@ -76,3 +76,42 @@ def test_directed_with_dangling(spark):
         ranks_dict(res.ranks), numpy_pagerank([(1, 2), (2, 3)], directed=True)
     )
     assert abs(sum(ranks_dict(res.ranks).values()) - 1.0) < 1e-6
+
+
+def numpy_ppr(pairs, sources, damping=0.85, directed=False, iters=200):
+    """Personalized-PageRank oracle: teleport + dangling mass return to
+    the seed set uniformly."""
+    links = list(pairs) + ([] if directed else [(b, a) for a, b in pairs])
+    ids = sorted({v for e in links for v in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n, ns = len(ids), len(sources)
+    out = np.zeros(n)
+    for a, _ in links:
+        out[idx[a]] += 1
+    member = np.zeros(n)
+    for s in sources:
+        member[idx[s]] = 1.0
+    r = member / ns
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        dangling = r[out == 0].sum()
+        for a, b in links:
+            if out[idx[a]]:
+                contrib[idx[b]] += r[idx[a]] / out[idx[a]]
+        r = member * ((1 - damping) / ns + damping * dangling / ns) + damping * contrib
+    return {v: r[idx[v]] for v in ids}
+
+
+def test_personalized_pagerank_vs_oracle(spark):
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1), (2, 5), (6, 7)]
+    res = pagerank(
+        canonicalize(edge_df(spark, pairs)), tol=0.0, max_iter=100, sources=[1, 2]
+    )
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    want = numpy_ppr(pairs, [1, 2])
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+    # seeds dominate; the disconnected component {6, 7} gets zero mass
+    assert got[6] == got[7] == pytest.approx(0.0, abs=1e-12)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
