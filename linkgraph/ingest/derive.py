@@ -137,6 +137,40 @@ def module_index(corpus: DataFrame) -> DataFrame:
     ).where(F.col("module") != ".").distinct()
 
 
+def edge_candidates(
+    corpus: DataFrame,
+    index: DataFrame,
+    parser: str = "jvm",
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """(src, dst, *carry) — one row per RESOLVED import mention, not
+    deduped: the stream-safe core of import_edges (a stateless
+    projection + explode + stream-static broadcast join, legal under
+    readStream). ``carry`` threads extra columns (e.g. an ingest
+    timestamp) through to the output so a streaming caller can bound
+    its dedup state with a watermark.
+    """
+    carry = carry or []
+    if parser == "jvm":
+        mods = F.regexp_extract_all("content", _jvm_import_pattern(), F.lit(1))
+    else:
+        mods = _extract_imports("content", "lang")
+    mentions = corpus.select("repo", *carry, mods.alias("mods")).select(
+        "repo", *carry, F.explode("mods").alias("module")
+    )
+    resolved = mentions.join(
+        F.broadcast(index.withColumnRenamed("repo", "dst_repo")), "module"
+    ).where(F.col("repo") != F.col("dst_repo"))
+    ids = resolved.select(
+        F.abs(F.xxhash64("repo")).alias("a"),
+        F.abs(F.xxhash64("dst_repo")).alias("b"),
+        *carry,
+    )
+    return ids.select(
+        F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"), *carry
+    )
+
+
 def import_edges(
     corpus: DataFrame, index: DataFrame | None = None, parser: str = "jvm"
 ) -> DataFrame:
@@ -156,23 +190,7 @@ def import_edges(
       single regex (tree-sitter, per-lang resolvers); never per-row.
     """
     index = index if index is not None else module_index(corpus)
-    if parser == "jvm":
-        mods = F.regexp_extract_all("content", _jvm_import_pattern(), F.lit(1))
-    else:
-        mods = _extract_imports("content", "lang")
-    mentions = corpus.select("repo", mods.alias("mods")).select(
-        "repo", F.explode("mods").alias("module")
-    )
-    resolved = mentions.join(
-        F.broadcast(index.withColumnRenamed("repo", "dst_repo")), "module"
-    ).where(F.col("repo") != F.col("dst_repo"))
-    ids = resolved.select(
-        F.abs(F.xxhash64("repo")).alias("a"), F.abs(F.xxhash64("dst_repo")).alias("b")
-    )
-    return (
-        ids.select(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"))
-        .distinct()
-    )
+    return edge_candidates(corpus, index, parser).distinct()
 
 
 def commit_cooccurrence_edges(
