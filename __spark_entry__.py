@@ -267,6 +267,12 @@ def _q_transitivity(spark, sf):
     )
 
 
+def _q_assortativity(spark, sf):
+    return E.degree_assortativity(datasets.co_purchase_edges(spark, sf)).select(
+        F.round("assortativity", 6).alias("assortativity")
+    )
+
+
 def _q_ppr(spark, sf):
     # Personalized PageRank from the 3 smallest vertex ids (the oracle
     # derives the identical seed set with ORDER BY id LIMIT 3).
@@ -431,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_components": _q_ktruss_components,
         "kcore_4": _q_kcore4,
         "transitivity": _q_transitivity,
+        "degree_assortativity": _q_assortativity,
         "pagerank_personalized": _q_ppr,
         "clustering_coefficient": _q_clustering,
         "max_truss": _q_max_truss,
@@ -818,6 +825,14 @@ kchk AS (SELECT CASE WHEN
          THEN error('kcore oracle: not at fixpoint at maxit')
          ELSE 1 END AS ok)
 SELECT src, dst FROM kc, kchk WHERE it = {_KCORE_MAXIT}
+""",
+        "degree_assortativity": f"""
+WITH {_E_DENSE},
+b AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+deg AS (SELECT src AS id, count(*) AS d FROM b GROUP BY src),
+j AS (SELECT da.d AS ds, db.d AS dd
+      FROM b JOIN deg da ON da.id = b.src JOIN deg db ON db.id = b.dst)
+SELECT round(corr(ds, dd), 6) AS assortativity FROM j
 """,
         "transitivity": f"""
 WITH {_E_DENSE}, {_TRI},

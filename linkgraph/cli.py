@@ -19,6 +19,8 @@ Modes (reference cites in parentheses):
   pagerank        PageRank to convergence (scope extension)
   components      connected components (scope extension)
   labelprop       label propagation (scope extension)
+  kcore           k-core edges for a given k (scope extension)
+  corenumbers     per-vertex core numbers (scope extension)
 
 Input: either a parquet edge table (src, dst) or an edge-list text file
 ("<int><sep><int>" per line, Truss.scala:21-29); detected by extension.
@@ -90,6 +92,17 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         return component_of_edges(und, connected_components(und))
     if args.mode == "labelprop":
         return label_propagation(und, max_iter=args.max_iter).labels
+    if args.mode == "kcore":
+        from linkgraph.graph.kcore import k_core
+
+        res = k_core(und, args.k)
+        print(f"k-core k={args.k}: {res.n_edges} edges, {res.rounds} rounds",
+              file=sys.stderr)
+        return res.edges
+    if args.mode == "corenumbers":
+        from linkgraph.graph.kcore import core_numbers
+
+        return core_numbers(und)
     raise SystemExit(f"unknown mode: {args.mode}")
 
 

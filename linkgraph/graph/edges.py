@@ -140,6 +140,24 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
     )
 
 
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """One row (assortativity double): Pearson correlation of endpoint
+    degrees over the mirrored edge list (Newman 2002 — shift-invariance
+    of Pearson makes degree and remaining-degree correlation equal).
+
+    Cost: one degree aggregation, two joins degree-onto-endpoint, one
+    scalar correlation aggregate (all 2-phase; nothing is collected).
+    """
+    b = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = b.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    j = b.join(
+        deg.withColumnRenamed("id", "src").withColumnRenamed("d", "ds"), "src"
+    ).join(deg.withColumnRenamed("id", "dst").withColumnRenamed("d", "dd"), "dst")
+    return j.agg(F.corr("ds", "dd").alias("assortativity"))
+
+
 def in_out_degree_histograms(directed: DataFrame) -> DataFrame:
     """Directed variant with in/out/total histograms in one table:
     (direction in {'in','out','total'}, degree, n_vertices)."""

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 from collections import Counter
 
+import pytest
+
 from linkgraph.graph.edges import canonicalize
 from linkgraph.graph.kcore import core_numbers, k_core
 from linkgraph.graph.triangles import transitivity
@@ -70,3 +72,11 @@ def test_transitivity_complete_and_path(spark):
     path = canonicalize(edge_df(spark, [(1, 2), (2, 3), (3, 4)]))
     row = transitivity(path).collect()[0]
     assert row["n_triangles"] == 0 and row["transitivity"] == 0.0
+
+
+def test_degree_assortativity_star_is_minus_one(spark):
+    from linkgraph.graph.edges import degree_assortativity
+
+    star = canonicalize(edge_df(spark, [(0, 1), (0, 2), (0, 3)]))
+    row = degree_assortativity(star).collect()[0]
+    assert row["assortativity"] == pytest.approx(-1.0, abs=1e-12)
