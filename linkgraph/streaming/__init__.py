@@ -7,10 +7,13 @@ from linkgraph.streaming.jobs import (
     run_available_now,
 )
 from linkgraph.streaming.stateful import streaming_sessionize
+from linkgraph.streaming.dedup import streaming_exact_dedup, streaming_import_edges
 
 __all__ = [
     "stream_events",
     "streaming_window_counts",
     "run_available_now",
     "streaming_sessionize",
+    "streaming_exact_dedup",
+    "streaming_import_edges",
 ]
