@@ -46,6 +46,9 @@ from linkgraph.graph.kcore import k_core
 from linkgraph.graph.triangles import transitivity
 from linkgraph.graph.truss import k_truss_components
 from linkgraph.graph.truss import k_truss, max_truss
+from linkgraph.graph.hits import hits
+from linkgraph.graph.linkpred import link_prediction
+from linkgraph.graph.bfs import bfs_distances
 from linkgraph.multimodal.media import extract_features, synthetic_media
 from linkgraph.sim.ann import brute_force_topk, ivf_topk
 from linkgraph.text.analysis import language_id, quality_features, token_stats
@@ -406,6 +409,41 @@ def _q_events_funnel(spark, sf):
     )
 
 
+def _q_hits(spark, sf):
+    res = hits(datasets.supply_digraph(spark, sf), max_iter=20)
+    return res.scores.select(
+        "id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+
+
+def _q_link_prediction(spark, sf):
+    scored = link_prediction(
+        datasets.co_purchase_edges(spark, sf, min_quantity=40), min_common=2
+    )
+    return scored.select(
+        "u",
+        "v",
+        "common_neighbors",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+    )
+
+
+def _q_bfs(spark, sf):
+    # Landmarks = the 4 smallest vertex ids (the oracle derives the
+    # identical seed set with ORDER BY id LIMIT 4); depth cap matches
+    # the oracle's recursion cap so both sides clip identically.
+    edges = datasets.co_purchase_edges(spark, sf)
+    roots = [
+        r["id"]
+        for r in E.degrees(edges).select("id").orderBy("id").limit(4).collect()
+    ]
+    res = bfs_distances(edges, roots, max_depth=15)
+    return res.distances.select(
+        "root", "id", F.col("dist").cast("long").alias("dist")
+    )
+
+
 def _q_media_features(spark, sf):
     # Scalar projection: the driver's canonicalizer cannot sort/hash an
     # array column, so posexplode the feature vector to one row per
@@ -439,6 +477,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitivity": _q_transitivity,
         "degree_assortativity": _q_assortativity,
         "pagerank_personalized": _q_ppr,
+        "hits_scores": _q_hits,
+        "link_prediction": _q_link_prediction,
+        "bfs_distances": _q_bfs,
         "clustering_coefficient": _q_clustering,
         "max_truss": _q_max_truss,
         "dedup_exact": _q_dedup_exact,
@@ -755,6 +796,79 @@ pr(it, id, rank) AS (
     WHERE it < 20
     GROUP BY it, b.dst) t)
 SELECT id, round(rank, 6) AS rank FROM pr WHERE it = 20
+""",
+        # HITS over the directed supplier->part graph: sequential
+        # update (auth from hub, then hub from the NEW auth), L2
+        # normalization after each half-step — exactly hits.py. Both
+        # engines do the same double arithmetic; 6-decimal rounding on
+        # the normalized vectors is far above the summation-order noise.
+        "hits_scores": """
+WITH RECURSIVE
+e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+v AS (SELECT DISTINCT id FROM
+       (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e) t0),
+h(it, id, hub, auth) AS (
+  SELECT 0, id, CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE) FROM v
+  UNION ALL
+  SELECT * FROM (
+    WITH cur AS (SELECT id, hub FROM h),
+    ac AS (SELECT e.dst AS id, sum(cur.hub) AS a
+           FROM cur JOIN e ON cur.id = e.src GROUP BY e.dst),
+    a1 AS (SELECT v.id, coalesce(ac.a, 0.0) AS a
+           FROM v LEFT JOIN ac ON ac.id = v.id),
+    an AS (SELECT id, CASE WHEN (SELECT sqrt(sum(a * a)) FROM a1) > 0
+                           THEN a / (SELECT sqrt(sum(a * a)) FROM a1)
+                           ELSE 0.0 END AS a FROM a1),
+    hc AS (SELECT e.src AS id, sum(an.a) AS hb
+           FROM an JOIN e ON an.id = e.dst GROUP BY e.src),
+    h1 AS (SELECT v.id, coalesce(hc.hb, 0.0) AS hb
+           FROM v LEFT JOIN hc ON hc.id = v.id),
+    hn AS (SELECT id, CASE WHEN (SELECT sqrt(sum(hb * hb)) FROM h1) > 0
+                           THEN hb / (SELECT sqrt(sum(hb * hb)) FROM h1)
+                           ELSE 0.0 END AS hb FROM h1)
+    SELECT (SELECT max(it) FROM h) + 1, hn.id, hn.hb, an.a
+    FROM hn JOIN an ON an.id = hn.id
+  ) t
+  WHERE (SELECT max(it) FROM h) < 20
+)
+SELECT id, round(hub, 6) AS hub, round(auth, 6) AS auth FROM h WHERE it = 20
+""",
+        # Link prediction on the mid-density truss graph: the wedge
+        # self-join / per-pair aggregate / anti-join is the same
+        # relational algebra as linkpred.py. Centers in a wedge always
+        # have degree >= 2, so ln(degree) never hits ln(1)=0.
+        "link_prediction": f"""
+WITH {_E_TRUSS},
+b AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+deg AS (SELECT src AS id, count(*) AS degree FROM b GROUP BY src),
+w AS (SELECT a1.dst AS u, a2.dst AS v, a1.src AS c
+      FROM b a1 JOIN b a2 ON a1.src = a2.src AND a1.dst < a2.dst),
+s AS (SELECT u, v, count(*) AS common_neighbors,
+             sum(1.0 / ln(deg.degree)) AS aa
+      FROM w JOIN deg ON deg.id = w.c GROUP BY u, v
+      HAVING count(*) >= 2),
+na AS (SELECT s.* FROM s ANTI JOIN e ON s.u = e.src AND s.v = e.dst)
+SELECT na.u, na.v, common_neighbors,
+       round(CAST(common_neighbors AS DOUBLE)
+             / (du.degree + dv.degree - common_neighbors), 6) AS jaccard,
+       round(aa, 6) AS adamic_adar
+FROM na JOIN deg du ON du.id = na.u JOIN deg dv ON dv.id = na.v
+""",
+        # Multi-source BFS from the 4 smallest vertex ids on the dense
+        # graph. UNION-dedup recursion: walks re-enter vertices at
+        # larger d until the cap, min(d) per (root, id) is the hop
+        # distance; the cap (15) matches the Spark max_depth so both
+        # sides clip identically (diameter here is ~5).
+        "bfs_distances": f"""
+WITH RECURSIVE {_E_DENSE},
+b AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+v AS (SELECT DISTINCT src AS id FROM b),
+roots AS (SELECT id FROM v ORDER BY id LIMIT 4),
+r(root, id, d) AS (
+  SELECT id, id, 0 FROM roots
+  UNION
+  SELECT r.root, b.dst, r.d + 1 FROM r JOIN b ON r.id = b.src WHERE r.d < 15)
+SELECT root, id, CAST(min(d) AS BIGINT) AS dist FROM r GROUP BY root, id
 """,
         # Stop rule mirrors labelprop.py: the loop ends at the FIRST
         # round t whose state equals state(t-1) (fixpoint) or

@@ -21,6 +21,9 @@ Modes (reference cites in parentheses):
   labelprop       label propagation (scope extension)
   kcore           k-core edges for a given k (scope extension)
   corenumbers     per-vertex core numbers (scope extension)
+  hits            HITS hub/authority scores on the raw digraph (scope extension)
+  linkpred        common-neighbor/Jaccard/Adamic-Adar pair scores (scope extension)
+  bfs             multi-source BFS hop distances; --sources ids (scope extension)
 
 Input: either a parquet edge table (src, dst) or an edge-list text file
 ("<int><sep><int>" per line, Truss.scala:21-29); detected by extension.
@@ -103,6 +106,23 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         from linkgraph.graph.kcore import core_numbers
 
         return core_numbers(und)
+    if args.mode == "hits":
+        from linkgraph.graph.hits import hits
+
+        return hits(raw, max_iter=args.max_iter).scores
+    if args.mode == "linkpred":
+        from linkgraph.graph.linkpred import link_prediction
+
+        return link_prediction(und, min_common=args.k)
+    if args.mode == "bfs":
+        from linkgraph.graph.bfs import bfs_distances
+
+        sources = [int(s) for s in (args.sources or "").split(",") if s != ""]
+        if not sources:
+            sources = [r["id"] for r in E.degrees(und).orderBy("id").limit(1).collect()]
+        res = bfs_distances(und, sources, max_depth=args.max_iter)
+        print(f"bfs depth: {res.iterations}", file=sys.stderr)
+        return res.distances
     raise SystemExit(f"unknown mode: {args.mode}")
 
 
@@ -116,6 +136,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--k", type=int, default=4)
     p.add_argument("--max-iter", type=int, default=50)
     p.add_argument("--master", default=None)
+    p.add_argument("--sources", default=None, help="comma-separated root ids (bfs)")
     p.add_argument(
         "--text",
         action="store_true",

@@ -26,6 +26,7 @@ def _args(mode, inp, **kw):
         partitions=kw.get("partitions", 0),
         k=kw.get("k", 4),
         max_iter=kw.get("max_iter", 20),
+        sources=kw.get("sources"),
     )
 
 
@@ -53,3 +54,15 @@ def test_histo_and_pagerank_modes(spark, mini_txt):
     assert set(r["direction"] for r in histo.collect()) == {"in", "out", "total"}
     pr = run(_args("pagerank", mini_txt), spark)
     assert abs(sum(r["rank"] for r in pr.collect()) - 1.0) < 1e-6
+
+
+def test_new_round2_modes(spark, mini_txt):
+    h = run(_args("hits", mini_txt), spark)
+    assert set(h.columns) == {"id", "hub", "auth"}
+    assert abs(sum(r["hub"] ** 2 for r in h.collect()) - 1.0) < 1e-9
+    lp = run(_args("linkpred", mini_txt, k=1), spark)
+    assert set(lp.columns) == {"u", "v", "common_neighbors", "jaccard", "adamic_adar"}
+    assert lp.count() > 0
+    bfs = run(_args("bfs", mini_txt, sources="1"), spark)
+    got = {(r["root"], r["id"]): r["dist"] for r in bfs.collect()}
+    assert got[(1, 1)] == 0 and all(d >= 0 for d in got.values())
