@@ -52,6 +52,9 @@ from linkgraph.graph.bfs import bfs_distances
 from linkgraph.multimodal.media import extract_features, synthetic_media
 from linkgraph.sim.ann import brute_force_topk, ivf_topk
 from linkgraph.text.analysis import language_id, quality_features, token_stats
+from linkgraph.text.tfidf import tfidf_top_terms
+from linkgraph.text.decontam import ngram_contamination
+from linkgraph.sampling import hash_sample
 
 # --------------------------------------------------------------------------
 # shared SQL prelude fragments (DuckDB side)
@@ -409,6 +412,36 @@ def _q_events_funnel(spark, sf):
     )
 
 
+def _q_tfidf(spark, sf):
+    d = datasets.load(spark, sf, "documents").select("doc_id", "text")
+    out = tfidf_top_terms(d, k=5, min_df=2)
+    return out.select(
+        "doc_id", "rank", "term", "tf", F.round("score", 6).alias("score")
+    )
+
+
+def _q_hash_sample(spark, sf):
+    # portable=True: the cross-engine polynomial hash (dedup/phash)
+    # makes the kept-key set bit-identical in the DuckDB oracle; the
+    # scale path keeps xxhash64.
+    d = datasets.load(spark, sf, "documents").select("doc_id", "text")
+    kept = hash_sample(d, "doc_id", fraction=0.25, salt="0", portable=True)
+    return kept.select("doc_id")
+
+
+def _q_decontam(spark, sf):
+    # Benchmark set = every 40th doc (a stand-in eval suite); training
+    # docs are the rest. 5-gram overlap — at sf0.01 exactly the
+    # near-duplicate of a benchmark doc is flagged.
+    d = datasets.load(spark, sf, "documents").select("doc_id", "text")
+    bench = d.where(F.col("doc_id") % 40 == 0)
+    train = d.where(F.col("doc_id") % 40 != 0)
+    out = ngram_contamination(train, bench, n=5)
+    return out.select(
+        "doc_id", "n_contaminated", F.col("contaminated").cast("int").alias("contaminated")
+    )
+
+
 def _q_hits(spark, sf):
     res = hits(datasets.supply_digraph(spark, sf), max_iter=20)
     return res.scores.select(
@@ -485,6 +518,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_groups": _q_dedup_groups,
         "token_stats": _q_token_stats,
+        "tfidf_top_terms": _q_tfidf,
+        "hash_sample": _q_hash_sample,
+        "ngram_decontamination": _q_decontam,
         "quality_features": _q_quality,
         "language_id": _q_language,
         "embedding_topk": _q_embedding_topk,
@@ -1038,6 +1074,54 @@ SELECT doc_id,
 FROM documents
 """,
         "quality_features": quality,
+        # TF-IDF with the smoothed idf = ln((N+1)/(df+1)) + 1; ties on
+        # equal score break on the lexicographically smaller term in
+        # both engines (identical double arithmetic -> identical order).
+        "tfidf_top_terms": """
+WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+           FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+idf AS (SELECT term,
+               ln((CAST((SELECT n FROM nd) AS DOUBLE) + 1) / (count(*) + 1)) + 1.0 AS idf
+        FROM tf GROUP BY term HAVING count(*) >= 2),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, tf.tf * idf.idf AS score
+      FROM tf JOIN idf USING (term)),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term ASC) AS rank FROM s)
+SELECT doc_id, rank, term, tf, round(score, 6) AS score FROM r WHERE rank <= 5
+""",
+        # Deterministic key sampling on the portable polynomial hash
+        # plus the two square-and-add avalanche rounds (sampling.py):
+        # keep doc_id when mix(poly(doc_id || ':0')) % 1e6 < 250000.
+        "hash_sample": f"""
+WITH h0 AS (SELECT doc_id,
+  ({_poly_sql("concat(CAST(doc_id AS VARCHAR), ':0')", 31, 1_000_000_007)}) AS h
+  FROM documents),
+h1 AS (SELECT doc_id, (h * h + {0x9E3779B9}) % 1000000007 AS h FROM h0),
+h2 AS (SELECT doc_id, (h * h + {0x85EBCA6B}) % 1000000007 AS h FROM h1)
+SELECT doc_id FROM h2 WHERE h % 1000000 < 250000
+""",
+        # 5-gram decontamination of training docs (doc_id % 40 != 0)
+        # against the stand-in benchmark set (doc_id % 40 = 0); exact
+        # lowercase word n-gram strings, no hashing.
+        "ngram_decontamination": r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+           FROM documents),
+g AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 5
+        THEN list_transform(generate_series(1, len(ws) - 4),
+             i -> array_to_string(ws[i:i+4], ' '))
+        ELSE [] END) AS gram FROM w),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 40 = 0),
+hits AS (SELECT g.doc_id, count(*) AS n_contaminated
+         FROM g JOIN bench USING (gram)
+         WHERE g.doc_id % 40 != 0 GROUP BY g.doc_id)
+SELECT d.doc_id,
+       coalesce(hits.n_contaminated, 0) AS n_contaminated,
+       CAST(coalesce(hits.n_contaminated, 0) > 0 AS INT) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 40 != 0) d
+LEFT JOIN hits ON hits.doc_id = d.doc_id
+""",
         "language_id": language,
         "embedding_topk": _TOPK_SQL,
         # IVF at n_probe == n_cells probes every cell, so it is EXACT —
