@@ -49,6 +49,7 @@ from linkgraph.graph.truss import k_truss, max_truss
 from linkgraph.graph.hits import hits
 from linkgraph.graph.linkpred import link_prediction
 from linkgraph.graph.bfs import bfs_distances
+from linkgraph.graph.scc import strongly_connected_components
 from linkgraph.multimodal.media import extract_features, synthetic_media
 from linkgraph.sim.ann import brute_force_topk, ivf_topk
 from linkgraph.text.analysis import language_id, quality_features, token_stats
@@ -412,6 +413,11 @@ def _q_events_funnel(spark, sf):
     )
 
 
+def _q_scc(spark, sf):
+    res = strongly_connected_components(datasets.directed_copurchase(spark, sf))
+    return res.labels
+
+
 def _q_tfidf(spark, sf):
     d = datasets.load(spark, sf, "documents").select("doc_id", "text")
     out = tfidf_top_terms(d, k=5, min_df=2)
@@ -513,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": _q_hits,
         "link_prediction": _q_link_prediction,
         "bfs_distances": _q_bfs,
+        "scc_labels": _q_scc,
         "clustering_coefficient": _q_clustering,
         "max_truss": _q_max_truss,
         "dedup_exact": _q_dedup_exact,
@@ -905,6 +912,29 @@ r(root, id, d) AS (
   UNION
   SELECT r.root, b.dst, r.d + 1 FROM r JOIN b ON r.id = b.src WHERE r.d < 15)
 SELECT root, id, CAST(min(d) AS BIGINT) AS dist FROM r GROUP BY root, id
+""",
+        # SCC ground truth by definition: transitive closure, mutual
+        # pairs, min mutual partner per vertex (singletons label
+        # themselves) — independent of the engine's FW-BW-MIN rounds.
+        "scc_labels": """
+WITH RECURSIVE
+ps AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       WHERE l_quantity >= 46),
+eu AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+       FROM ps a JOIN ps b ON a.ok = b.ok AND a.pk < b.pk),
+e AS (SELECT CASE WHEN (src + dst) % 2 = 0 THEN src ELSE dst END AS src,
+             CASE WHEN (src + dst) % 2 = 0 THEN dst ELSE src END AS dst FROM eu),
+reach(a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT reach.a, e.dst FROM reach JOIN e ON reach.b = e.src),
+mutual AS (SELECT r1.a AS v, r1.b AS w
+           FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+verts AS (SELECT DISTINCT src AS id FROM
+          (SELECT src FROM e UNION ALL SELECT dst FROM e) t)
+SELECT verts.id, least(verts.id, coalesce(min(mutual.w), verts.id)) AS label
+FROM verts LEFT JOIN mutual ON mutual.v = verts.id
+GROUP BY verts.id
 """,
         # Stop rule mirrors labelprop.py: the loop ends at the FIRST
         # round t whose state equals state(t-1) (fixpoint) or

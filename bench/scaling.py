@@ -146,8 +146,10 @@ best-of pools them):
 | 1 executor × 8 cores | 212.9 s | 174,761 | 117.3 s | 2,536,119 |
 | 4 executors × 8 cores | 136.9 s | 271,728 | 38.3 s | 7,765,463 |
 
-PageRank efficiency 1 -> 4 executors: **0.77** (vs 0.49 at 9.3M
-edges) — wall-to-convergence improves 3.1x, steady supersteps go
+PageRank efficiency 1 -> 4 executors: **0.77** (vs the headline
+table's toy-size pair above, where round-2 kernel speedups pushed the
+9.3M-edge lc:1 supersteps down to ~2 s and fixed costs now dominate
+even harder) — wall-to-convergence improves 3.1x, steady supersteps go
 15 s -> 4.5 s, exactly the amortization the toy-size caveat predicts;
 the remaining gap to the cluster yardstick is the shared memory
 controller plus residual 0.5-1.5 s/superstep stall noise visible in

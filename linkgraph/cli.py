@@ -24,6 +24,7 @@ Modes (reference cites in parentheses):
   hits            HITS hub/authority scores on the raw digraph (scope extension)
   linkpred        common-neighbor/Jaccard/Adamic-Adar pair scores (scope extension)
   bfs             multi-source BFS hop distances; --sources ids (scope extension)
+  scc             strongly connected components of the raw digraph (scope extension)
 
 Input: either a parquet edge table (src, dst) or an edge-list text file
 ("<int><sep><int>" per line, Truss.scala:21-29); detected by extension.
@@ -106,6 +107,12 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         from linkgraph.graph.kcore import core_numbers
 
         return core_numbers(und)
+    if args.mode == "scc":
+        from linkgraph.graph.scc import strongly_connected_components
+
+        res = strongly_connected_components(raw, max_rounds=args.max_iter)
+        print(f"scc rounds: {res.rounds}", file=sys.stderr)
+        return res.labels
     if args.mode == "hits":
         from linkgraph.graph.hits import hits
 

