@@ -17,10 +17,13 @@ Conventions:
 - Iterative queries run a FIXED 20 supersteps (tol=0) so the oracle's
   recursion depth matches deterministically; both algorithms are at
   their fixpoint well before 20 rounds on these graphs.
-- Ops whose results depend on engine-specific hash functions
-  (xxhash64 minhash/simhash/fingerprints) or on approximate index
-  structure (LSH, IVF) have no SQL oracle -> rows-only check; their
-  exact-oracle coverage lives in tests/ against brute-force baselines.
+- Hash-dependent ops (minhash/simhash/embedding-LSH/sampling) run the
+  driver queries in portable-hash mode (dedup/phash.py — exact int64
+  arithmetic both engines evaluate identically), so they ARE
+  value-checked; the xxhash64/numpy intrinsics stay the scale default.
+  The ONLY rows-only query is `media_features`: its decode stub is a
+  sha256-seeded numpy RNG (no codec libs in this sandbox), which SQL
+  cannot reproduce — its parity lives in tests/test_media.py.
 """
 
 from __future__ import annotations
