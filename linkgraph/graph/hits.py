@@ -106,9 +106,21 @@ def hits(
         state.withColumn("auth", F.lit(0.0)), "hub"
     ).select("id", "hub", "auth")
 
+    # Resume: with a durable checkpoint dir, pick up from the last
+    # complete superstep (manifest presence == complete); the joint
+    # (hub, auth) state is everything the next round reads, so the
+    # continuation is bit-identical to an uninterrupted run.
+    start_it = 1
+    latest = ckpt.latest()
+    if latest is not None:
+        loaded, _manifest = ckpt.load(latest)
+        last = loaded.select("id", "hub", "auth")
+        state = loaded.select("id", "hub")
+        start_it = latest + 1
+
     counters: list[dict] = []
-    it = 0
-    for it in range(1, max_iter + 1):
+    it = start_it - 1
+    for it in range(start_it, max_iter + 1):
         t_step = time.time()
         probe = F.broadcast(state) if small_state else state
         # auth(v) = sum of hub over in-links, then L2 norm. Vertices

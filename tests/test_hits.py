@@ -75,3 +75,26 @@ def test_empty(spark):
     res = hits(empty, max_iter=5)
     assert res.scores.count() == 0
     assert res.iterations == 0
+
+
+def test_resume_matches_uninterrupted(spark, tmp_path):
+    from linkgraph.checkpoint import Checkpointer
+
+    df = gnp_graph(spark, n=40, p=0.1, seed=21)
+    full = hits(
+        df, max_iter=8,
+        checkpointer=Checkpointer(spark, dir=str(tmp_path / "a"), job="hits"),
+    )
+    ckpt_b = Checkpointer(spark, dir=str(tmp_path / "b"), job="hits")
+    hits(df, max_iter=3, checkpointer=ckpt_b)  # "killed" after step 3
+    assert ckpt_b.latest() == 3
+    resumed = hits(
+        df, max_iter=8,
+        checkpointer=Checkpointer(spark, dir=str(tmp_path / "b"), job="hits"),
+    )
+    assert resumed.iterations == 8
+    a = {(r["id"]): (r["hub"], r["auth"]) for r in full.scores.collect()}
+    b = {(r["id"]): (r["hub"], r["auth"]) for r in resumed.scores.collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k]  # bit-identical continuation
