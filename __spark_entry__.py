@@ -51,7 +51,7 @@ from linkgraph.graph.truss import k_truss_components
 from linkgraph.graph.truss import k_truss, max_truss
 from linkgraph.graph.hits import hits
 from linkgraph.graph.linkpred import link_prediction
-from linkgraph.graph.bfs import bfs_distances
+from linkgraph.graph.bfs import bfs_distances, closeness_centrality
 from linkgraph.graph.scc import strongly_connected_components
 from linkgraph.multimodal.media import extract_features, synthetic_media
 from linkgraph.sim.ann import brute_force_topk, ivf_topk
@@ -416,6 +416,31 @@ def _q_events_funnel(spark, sf):
     )
 
 
+def _q_pagerank_weighted(spark, sf):
+    res = pagerank(
+        datasets.sparse_weighted_edges(spark, sf),
+        max_iter=20,
+        tol=0.0,
+        weight_col="weight",
+    )
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _q_closeness(spark, sf):
+    edges = datasets.co_purchase_edges(spark, sf)
+    roots = [
+        r["id"]
+        for r in E.degrees(edges).select("id").orderBy("id").limit(4).collect()
+    ]
+    out = closeness_centrality(edges, roots, max_depth=15)
+    return out.select(
+        "root",
+        "n_reached",
+        F.round("closeness", 6).alias("closeness"),
+        F.round("harmonic", 6).alias("harmonic"),
+    )
+
+
 def _q_scc(spark, sf):
     res = strongly_connected_components(datasets.directed_copurchase(spark, sf))
     return res.labels
@@ -523,6 +548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": _q_link_prediction,
         "bfs_distances": _q_bfs,
         "scc_labels": _q_scc,
+        "closeness_centrality": _q_closeness,
+        "pagerank_weighted": _q_pagerank_weighted,
         "clustering_coefficient": _q_clustering,
         "max_truss": _q_max_truss,
         "dedup_exact": _q_dedup_exact,
@@ -915,6 +942,48 @@ r(root, id, d) AS (
   UNION
   SELECT r.root, b.dst, r.d + 1 FROM r JOIN b ON r.id = b.src WHERE r.d < 15)
 SELECT root, id, CAST(min(d) AS BIGINT) AS dist FROM r GROUP BY root, id
+""",
+        # Weighted PageRank: identical recursion to `pagerank` with
+        # rank split proportionally to edge weight (= shared orders).
+        "pagerank_weighted": """
+WITH RECURSIVE
+ps AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       WHERE l_quantity >= 48),
+ew AS (SELECT a.pk AS src, b.pk AS dst, count(*) AS w
+       FROM ps a JOIN ps b ON a.ok = b.ok AND a.pk < b.pk
+       GROUP BY a.pk, b.pk),
+b AS (SELECT src, dst, w FROM ew
+      UNION ALL SELECT dst AS src, src AS dst, w FROM ew),
+deg AS (SELECT src AS id, sum(w) AS ow FROM b GROUP BY src),
+nv AS (SELECT count(*) AS n FROM deg),
+pr(it, id, rank) AS (
+  SELECT 0, id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nv) FROM deg
+  UNION ALL
+  SELECT it + 1, b.dst,
+         CAST(0.15 AS DOUBLE) / (SELECT n FROM nv)
+         + CAST(0.85 AS DOUBLE) * sum(pr.rank * b.w / deg.ow)
+  FROM pr JOIN b ON pr.id = b.src JOIN deg ON deg.id = b.src
+  WHERE it < 20
+  GROUP BY it, b.dst)
+SELECT id, round(rank, 6) AS rank FROM pr WHERE it = 20
+""",
+        # Landmark closeness/harmonic: one aggregate over the BFS
+        # recursion (same seed derivation and depth cap as
+        # bfs_distances).
+        "closeness_centrality": f"""
+WITH RECURSIVE {_E_DENSE},
+b AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+v AS (SELECT DISTINCT src AS id FROM b),
+roots AS (SELECT id FROM v ORDER BY id LIMIT 4),
+r(root, id, d) AS (
+  SELECT id, id, 0 FROM roots
+  UNION
+  SELECT r.root, b.dst, r.d + 1 FROM r JOIN b ON r.id = b.src WHERE r.d < 15),
+dist AS (SELECT root, id, min(d) AS dist FROM r GROUP BY root, id)
+SELECT root, count(*) AS n_reached,
+       round(count(*) / CAST(sum(dist) AS DOUBLE), 6) AS closeness,
+       round(sum(1.0 / dist), 6) AS harmonic
+FROM dist WHERE dist > 0 GROUP BY root
 """,
         # SCC ground truth by definition: transitive closure, mutual
         # pairs, min mutual partner per vertex (singletons label

@@ -86,3 +86,19 @@ def directed_copurchase(spark: SparkSession, sf_dir: str, min_quantity: float = 
         F.when(even, F.col("src")).otherwise(F.col("dst")).alias("src"),
         F.when(even, F.col("dst")).otherwise(F.col("src")).alias("dst"),
     )
+
+
+def sparse_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse co-purchase edges with weight = number of shared orders
+    (the weighted-PageRank workload)."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 48)
+    ps = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    return (
+        a.join(b, "ok")
+        .where(F.col("a.pk") < F.col("b.pk"))
+        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )

@@ -93,3 +93,31 @@ def bfs_distances(
         frontier = nxt
     b.unpersist()
     return BFSResult(distances=visited, iterations=depth, counters=counters)
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    sources: list[int],
+    max_depth: int = 100,
+) -> DataFrame:
+    """Exact closeness + harmonic centrality for a landmark set.
+
+    One aggregate over the multi-source BFS state: per root (with
+    n_reached = vertices reached at dist >= 1, i.e. excluding the root),
+      closeness = n_reached / sum(dist)
+      harmonic  = sum(1 / dist) over reached vertices
+    Roots reaching nothing produce no output row.
+    Landmark centralities are the standard big-graph practice (exact
+    all-pairs closeness is O(V * E)); the BFS cost dominates, the
+    aggregate is one shuffle of |roots| * |V| rows.
+    """
+    res = bfs_distances(edges, sources, max_depth=max_depth)
+    d = res.distances.where(F.col("dist") > 0)
+    return (
+        d.groupBy("root")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            (F.count(F.lit(1)) / F.sum("dist")).alias("closeness"),
+            F.sum(F.lit(1.0) / F.col("dist")).alias("harmonic"),
+        )
+    )

@@ -60,11 +60,19 @@ def pagerank(
     directed: bool = False,
     checkpointer: Checkpointer | None = None,
     sources: list[int] | None = None,
+    weight_col: str | None = None,
 ) -> PageRankResult:
     """PageRank over the canonical edge table.
 
     ``directed=False`` (default, link-graph mode) treats each undirected
     edge as two directed links. Returns ranks summing to 1.
+
+    ``weight_col`` switches to WEIGHTED PageRank: a vertex splits its
+    rank across out-links proportionally to edge weight
+    (``rank * w / sum(out-weights)``) instead of uniformly. The
+    superstep plan is unchanged — ``out_deg`` becomes the out-weight
+    sum and the contribution carries ``w`` — so every scale property
+    (partitioning, broadcast gating, one action per round) holds.
 
     ``sources`` switches to PERSONALIZED PageRank: rank initializes
     uniformly over the seed set and all teleport mass — the (1-d) share
@@ -78,11 +86,19 @@ def pagerank(
     spark = edges.sparkSession
     ckpt = checkpointer or Checkpointer(spark, job="pagerank")
 
-    links = edges.select("src", "dst")
-    if not directed:
-        links = links.unionByName(
-            links.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    weighted = weight_col is not None
+    if weighted:
+        links = edges.select(
+            "src", "dst", F.col(weight_col).cast("double").alias("w")
         )
+        mirror = links.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    else:
+        links = edges.select("src", "dst")
+        mirror = links.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    if not directed:
+        links = links.unionByName(mirror)
 
     if directed:
         vertices = (
@@ -98,7 +114,9 @@ def pagerank(
         # from ONE aggregation instead of three setup jobs.
         deg_state = (
             links.groupBy(F.col("src").alias("id"))
-            .agg(F.count(F.lit(1)).alias("out_deg"))
+            .agg(
+                (F.sum("w") if weighted else F.count(F.lit(1))).alias("out_deg")
+            )
             .localCheckpoint(eager=True)
         )
         n = deg_state.count()
@@ -144,7 +162,7 @@ def pagerank(
     # (id, rank, out_deg); dangling vertices have out_deg null -> 0.
     if directed:
         out_deg = links.groupBy(F.col("src").alias("id")).agg(
-            F.count(F.lit(1)).alias("out_deg")
+            (F.sum("w") if weighted else F.count(F.lit(1))).alias("out_deg")
         )
         state = (
             vertices.join(out_deg, "id", "left_outer")
@@ -203,11 +221,16 @@ def pagerank(
     for it in range(start_it, max_iter + 1):
         t_step = time.time()
         probe = F.broadcast(state) if small_state else state
+        share = (
+            F.col("rank") * links["w"] / F.col("out_deg")
+            if weighted
+            else F.col("rank") / F.col("out_deg")
+        )
         contribs = (
             links.join(probe, links["src"] == state["id"])
-            .select("dst", (F.col("rank") / F.col("out_deg")).alias("w"))
+            .select("dst", share.alias("_share"))
             .groupBy("dst")
-            .agg(F.sum("w").alias("contrib"))
+            .agg(F.sum("_share").alias("contrib"))
         )
         base = (1.0 - damping) / n_tele + damping * dangling / n_tele
         base_col = (

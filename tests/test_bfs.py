@@ -79,3 +79,24 @@ def test_ring_of_cliques(spark):
     roots = sorted({v for e in pairs for v in e})[:2]
     got = collect(bfs_distances(df, roots).distances)
     assert got == brute_bfs(pairs, roots)
+
+
+def test_closeness_centrality(spark):
+    from linkgraph.graph.bfs import closeness_centrality
+
+    # path 1-2-3-4 from root 1: dists 1,2,3 -> closeness 3/6, harmonic 1+1/2+1/3
+    out = closeness_centrality(path_graph(spark, 4), [1]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["root"] == 1 and r["n_reached"] == 3
+    assert abs(r["closeness"] - 3 / 6) < 1e-12
+    assert abs(r["harmonic"] - (1 + 0.5 + 1 / 3)) < 1e-12
+
+
+def test_closeness_isolated_root_no_row(spark):
+    from linkgraph.graph.bfs import closeness_centrality
+
+    df = edge_df(spark, [(1, 2)])
+    # root 5 is not in the graph: BFS reaches nothing beyond itself.
+    out = closeness_centrality(df, [5]).collect()
+    assert out == []

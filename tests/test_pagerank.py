@@ -115,3 +115,46 @@ def test_personalized_pagerank_vs_oracle(spark):
     # seeds dominate; the disconnected component {6, 7} gets zero mass
     assert got[6] == got[7] == pytest.approx(0.0, abs=1e-12)
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def numpy_weighted_pagerank(wpairs, damping=0.85, iters=500):
+    """Dense weighted oracle: rank splits proportionally to weight."""
+    links = [(a, b, w) for a, b, w in wpairs] + [(b, a, w) for a, b, w in wpairs]
+    ids = sorted({v for a, b, _ in links for v in (a, b)})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    outw = np.zeros(n)
+    for a, _, w in links:
+        outw[idx[a]] += w
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for a, b, w in links:
+            contrib[idx[b]] += r[idx[a]] * w / outw[idx[a]]
+        r = (1 - damping) / n + damping * contrib
+    return {v: r[idx[v]] for v in ids}
+
+
+def test_weighted_vs_numpy_oracle(spark):
+    import random
+
+    rng = random.Random(9)
+    wpairs = sorted(
+        {(i, j) for i in range(30) for j in range(i + 1, 30) if rng.random() < 0.15}
+    )
+    wpairs = [(a, b, rng.randint(1, 5)) for a, b in wpairs]
+    df = spark.createDataFrame(wpairs, "src long, dst long, weight long")
+    res = pagerank(df, tol=1e-10, weight_col="weight")
+    got = ranks_dict(res.ranks)
+    assert_close(got, numpy_weighted_pagerank(wpairs))
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_weighted_uniform_weights_match_unweighted(spark):
+    from pyspark.sql import functions as F
+
+    df = canonicalize(gnp_graph(spark, n=40, p=0.1, seed=4))
+    wdf = df.withColumn("weight", F.lit(1.0))
+    a = ranks_dict(pagerank(df, tol=1e-10).ranks)
+    b = ranks_dict(pagerank(wdf, tol=1e-10, weight_col="weight").ranks)
+    assert_close(b, a, tol=1e-12)
