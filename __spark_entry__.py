@@ -52,6 +52,7 @@ from linkgraph.graph.truss import k_truss, max_truss
 from linkgraph.graph.hits import hits
 from linkgraph.graph.linkpred import link_prediction
 from linkgraph.graph.bfs import bfs_distances, closeness_centrality
+from linkgraph.graph.sssp import shortest_paths
 from linkgraph.graph.scc import strongly_connected_components
 from linkgraph.multimodal.media import extract_features, synthetic_media
 from linkgraph.sim.ann import brute_force_topk, ivf_topk
@@ -441,6 +442,24 @@ def _q_closeness(spark, sf):
     )
 
 
+def _q_sssp(spark, sf):
+    # Weighted shortest paths on the dense co-purchase graph with
+    # inverse-strength distances (dist = 1 / #shared orders: strong
+    # ties are short). Landmarks = 4 smallest vertex ids. Both sides
+    # run exactly 30 synchronous Bellman-Ford rounds — the delta
+    # workset's state after k rounds equals full BF's round-k state,
+    # so the comparison holds even independent of fixpoint.
+    edges = datasets.weighted_copurchase_edges(spark, sf).select(
+        "src", "dst", (F.lit(1.0) / F.col("weight")).alias("weight")
+    )
+    roots = [
+        r["id"]
+        for r in E.degrees(edges).select("id").orderBy("id").limit(4).collect()
+    ]
+    res = shortest_paths(edges, roots, max_iter=30)
+    return res.distances.select("root", "id", F.round("dist", 6).alias("dist"))
+
+
 def _q_scc(spark, sf):
     res = strongly_connected_components(datasets.directed_copurchase(spark, sf))
     return res.labels
@@ -547,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": _q_hits,
         "link_prediction": _q_link_prediction,
         "bfs_distances": _q_bfs,
+        "sssp_weighted": _q_sssp,
         "scc_labels": _q_scc,
         "closeness_centrality": _q_closeness,
         "pagerank_weighted": _q_pagerank_weighted,
@@ -966,6 +986,33 @@ pr(it, id, rank) AS (
   WHERE it < 20
   GROUP BY it, b.dst)
 SELECT id, round(rank, 6) AS rank FROM pr WHERE it = 20
+""",
+        # Weighted shortest paths: Bellman-Ford as a recursive CTE.
+        # Each level unions the carried state with one relaxation step
+        # and keeps min(d) per (root, id). Both sides run exactly 30
+        # synchronous BF rounds (delta-workset round-k state == full
+        # BF round-k state), so the comparison holds independent of
+        # fixpoint. Distances are inverse tie strength (1 / #shared
+        # orders).
+        "sssp_weighted": """
+WITH RECURSIVE
+ps AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+ew AS (SELECT a.pk AS src, b.pk AS dst, 1.0 / count(*) AS w
+       FROM ps a JOIN ps b ON a.ok = b.ok AND a.pk < b.pk
+       GROUP BY a.pk, b.pk),
+b AS (SELECT src, dst, w FROM ew
+      UNION ALL SELECT dst AS src, src AS dst, w FROM ew),
+v AS (SELECT DISTINCT src AS id FROM b),
+roots AS (SELECT id FROM v ORDER BY id LIMIT 4),
+r(it, root, id, d) AS (
+  SELECT 0, id, id, CAST(0.0 AS DOUBLE) FROM roots
+  UNION ALL
+  SELECT it + 1, root, id, min(d) FROM (
+    SELECT it, root, id, d FROM r
+    UNION ALL
+    SELECT r.it, r.root, b.dst, r.d + b.w FROM r JOIN b ON r.id = b.src
+  ) WHERE it < 30 GROUP BY it, root, id)
+SELECT root, id, round(d, 6) AS dist FROM r WHERE it = 30
 """,
         # Landmark closeness/harmonic: one aggregate over the BFS
         # recursion (same seed derivation and depth cap as

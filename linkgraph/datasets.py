@@ -88,6 +88,23 @@ def directed_copurchase(spark: SparkSession, sf_dir: str, min_quantity: float = 
     )
 
 
+def weighted_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dense co-purchase graph with weight = number of shared
+    orders (the weighted shortest-path workload: one giant component)."""
+    ps = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    return (
+        a.join(b, "ok")
+        .where(F.col("a.pk") < F.col("b.pk"))
+        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
 def sparse_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse co-purchase edges with weight = number of shared orders
     (the weighted-PageRank workload)."""
