@@ -38,6 +38,7 @@ from linkgraph.dedup.embedding import brute_force_pairs, embedding_near_duplicat
 from linkgraph.events import event_type_funnel, sessionize, tumbling_window_counts
 from linkgraph.dedup.exact import deduplicate_exact, exact_duplicate_groups
 from linkgraph.dedup.minhash import minhash_near_duplicates
+from linkgraph.dedup.cluster import near_duplicate_clusters
 from linkgraph.dedup.ngram import ngram_jaccard_pairs
 from linkgraph.dedup.simhash import simhash_near_duplicates
 from linkgraph.graph import edges as E
@@ -377,6 +378,17 @@ def _q_minhash(spark, sf):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_dedup_clusters(spark, sf):
+    # Transitive near-dup groups: the portable minhash pair list closed
+    # into components (group_id = min doc id), unpaired docs keep
+    # themselves. Same constants as minhash_pairs so the oracle shares
+    # its CTE chain.
+    return near_duplicate_clusters(
+        _docs2(spark, sf), col="text", id_col="doc_id",
+        threshold=0.8, portable=True,
+    )
+
+
 def _q_simhash(spark, sf):
     d = _docs2(spark, sf)
     return simhash_near_duplicates(
@@ -585,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh": _q_embedding_lsh,
         "ivf_topk": _q_ivf_topk,
         "minhash_pairs": _q_minhash,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash_pairs": _q_simhash,
         "ngram_jaccard": _q_ngram,
         "media_features": _q_media_features,
@@ -610,18 +623,18 @@ def _poly_sql(expr: str, mult: int, mod: int) -> str:
     )
 
 
-def _minhash_oracle() -> str:
-    """Full MinHash+LSH pipeline in DuckDB on the portable hash family:
+def _minhash_pipe() -> str:
+    """The MinHash+LSH CTE chain in DuckDB on the portable hash family:
     shingle -> 32 signature mins -> 8 band folds -> capped buckets ->
-    exact-Jaccard verify; every constant mirrors phash.py and the
-    _q_minhash call (shingle=3, b=8, r=4, cap=256, threshold=0.8)."""
+    exact-Jaccard verify (ending in `jac`); every constant mirrors
+    phash.py and the _q_minhash call (shingle=3, b=8, r=4, cap=256).
+    Shared by the minhash_pairs and dedup_clusters oracles."""
     from linkgraph.dedup import phash
 
     seeds = ", ".join(
         "({}, {}, {})".format(i, *phash.sig_seeds(i)) for i in range(32)
     )
-    return rf"""
-WITH {_DOCS2},
+    return rf"""{_DOCS2},
 t AS (SELECT doc_id AS id, trim(lower(text)) AS tx FROM d2),
 w AS (SELECT id, tx, regexp_split_to_array(tx, '\s+') AS ws FROM t),
 gs AS (SELECT id, CASE WHEN len(ws) >= 3
@@ -649,8 +662,33 @@ jac AS (SELECT id_a, id_b,
           CAST(len(list_intersect(ha.hset, hb.hset)) AS DOUBLE)
             / len(list_distinct(list_concat(ha.hset, hb.hset))) AS j
         FROM cand JOIN hs ha ON ha.id = cand.id_a
-                  JOIN hs hb ON hb.id = cand.id_b)
+                  JOIN hs hb ON hb.id = cand.id_b)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {_minhash_pipe()}
 SELECT id_a, id_b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.8
+"""
+
+
+def _dedup_clusters_oracle() -> str:
+    """Verified pairs (threshold 0.8) closed into components by a
+    reach closure (label = min doc id, same as connected_components);
+    unpaired docs keep themselves."""
+    return f"""
+WITH RECURSIVE {_minhash_pipe()},
+pr AS (SELECT id_a, id_b FROM jac WHERE j >= 0.8),
+bb AS (SELECT id_a AS s, id_b AS t FROM pr
+       UNION ALL SELECT id_b AS s, id_a AS t FROM pr),
+reach(id, r) AS (
+  SELECT s, s FROM bb
+  UNION
+  SELECT bb.t, reach.r FROM bb JOIN reach ON reach.id = bb.s),
+lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+allids AS (SELECT DISTINCT doc_id AS id FROM d2)
+SELECT a.id, coalesce(lab.label, a.id) AS group_id
+FROM allids a LEFT JOIN lab ON lab.id = a.id
 """
 
 
@@ -1352,6 +1390,7 @@ SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8
         # both engines evaluate identically, so the exact signatures,
         # LSH buckets, and verified pairs reproduce in DuckDB.
         "minhash_pairs": _minhash_oracle(),
+        "dedup_clusters": _dedup_clusters_oracle(),
         "simhash_pairs": _simhash_oracle(),
         # embedding_lsh likewise runs on portable deterministic
         # hyperplanes with sequential IEEE folds (bit-identical signs).

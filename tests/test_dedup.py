@@ -186,3 +186,33 @@ def test_portable_pipelines_match_duckdb_oracle(spark):
         sp = sorted(map(tuple, fn(spark, sf).collect()))
         du = sorted(map(tuple, con.sql(oracles[name]).fetchall()))
         assert sp == du, f"{name}: spark {len(sp)} rows vs duckdb {len(du)}"
+
+
+def test_near_duplicate_clusters_transitive(spark):
+    from linkgraph.dedup.cluster import deduplicate_near, near_duplicate_clusters
+
+    # chain: 0 ~ 1 ~ 2 (each adjacent pair near-dup); 0 vs 2 drifts
+    # further but transitivity must still pool all three. 3 is far.
+    a = BASE
+    b = BASE.replace("word10", "x10")
+    c = b.replace("word40", "x40")
+    df = docs(spark, [a, b, c, FAR])
+    got = {
+        r["id"]: r["group_id"]
+        for r in near_duplicate_clusters(df, threshold=0.7).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3}
+
+    kept = sorted(r["doc_id"] for r in deduplicate_near(df, threshold=0.7).collect())
+    assert kept == [0, 3]
+
+
+def test_clusters_no_pairs_all_singletons(spark):
+    from linkgraph.dedup.cluster import near_duplicate_clusters
+
+    df = docs(spark, [BASE, FAR])
+    got = {
+        r["id"]: r["group_id"]
+        for r in near_duplicate_clusters(df, threshold=0.7).collect()
+    }
+    assert got == {0: 0, 1: 1}
