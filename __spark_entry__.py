@@ -39,6 +39,7 @@ from linkgraph.events import event_type_funnel, sessionize, tumbling_window_coun
 from linkgraph.dedup.exact import deduplicate_exact, exact_duplicate_groups
 from linkgraph.dedup.minhash import minhash_near_duplicates
 from linkgraph.dedup.cluster import near_duplicate_clusters
+from linkgraph.text.repetition import repetition_features
 from linkgraph.dedup.ngram import ngram_jaccard_pairs
 from linkgraph.dedup.simhash import simhash_near_duplicates
 from linkgraph.graph import edges as E
@@ -378,6 +379,30 @@ def _q_minhash(spark, sf):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_repetition(spark, sf):
+    # Gopher repetition signals. The synthetic docs are single-line, so
+    # both sides first synthesize identical line/paragraph structure
+    # with literal replacements (' the ' -> newline, ' data ' -> blank
+    # line); n-gram fractions run over the same transformed text.
+    d = datasets.load(spark, sf, "documents").select("doc_id", "text")
+    t = F.replace(F.col("text"), F.lit(" the "), F.lit("\n"))
+    t = F.replace(t, F.lit(" data "), F.lit("\n\n"))
+    feats = repetition_features(
+        d.select("doc_id", t.alias("text")),
+        col="text", id_col="doc_id", top_ns=(2, 3), dup_ns=(5,),
+    )
+    return feats.select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("dup_para_frac", 6).alias("dup_para_frac"),
+        F.round("dup_para_char_frac", 6).alias("dup_para_char_frac"),
+        F.round("top2_gram_char_frac", 6).alias("top2_gram_char_frac"),
+        F.round("top3_gram_char_frac", 6).alias("top3_gram_char_frac"),
+        F.round("dup5_gram_char_frac", 6).alias("dup5_gram_char_frac"),
+    )
+
+
 def _q_dedup_clusters(spark, sf):
     # Transitive near-dup groups: the portable minhash pair list closed
     # into components (group_id = min doc id), unpaired docs keep
@@ -598,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "minhash_pairs": _q_minhash,
         "dedup_clusters": _q_dedup_clusters,
+        "repetition_features": _q_repetition,
         "simhash_pairs": _q_simhash,
         "ngram_jaccard": _q_ngram,
         "media_features": _q_media_features,
@@ -669,6 +695,66 @@ def _minhash_oracle() -> str:
     return f"""
 WITH {_minhash_pipe()}
 SELECT id_a, id_b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.8
+"""
+
+
+def _repetition_oracle() -> str:
+    """Gopher repetition signals in DuckDB: identical line/para
+    synthesis (literal replaces), list-algebra dup fractions, and the
+    same (doc, n, gram) count -> per-n roll-up for n-gram coverage."""
+    return r"""
+WITH
+tt AS (SELECT doc_id,
+         replace(replace(text, ' the ', chr(10)), ' data ',
+                 chr(10) || chr(10)) AS t
+       FROM documents),
+ln AS (SELECT doc_id,
+         list_filter(string_split_regex(t, '\n'), x -> trim(x) != '') AS ls,
+         list_filter(string_split_regex(t, '\n\s*\n'), x -> trim(x) != '') AS ps
+       FROM tt),
+lf AS (SELECT doc_id,
+         CASE WHEN len(ls) > 0
+              THEN 1.0 - len(list_distinct(ls)) / CAST(len(ls) AS DOUBLE)
+              ELSE 0.0 END AS dup_line_frac,
+         CASE WHEN list_sum(list_transform(ls, x -> length(x))) > 0
+              THEN 1.0 - list_sum(list_transform(list_distinct(ls), x -> length(x)))
+                   / CAST(list_sum(list_transform(ls, x -> length(x))) AS DOUBLE)
+              ELSE 0.0 END AS dup_line_char_frac,
+         CASE WHEN len(ps) > 0
+              THEN 1.0 - len(list_distinct(ps)) / CAST(len(ps) AS DOUBLE)
+              ELSE 0.0 END AS dup_para_frac,
+         CASE WHEN list_sum(list_transform(ps, x -> length(x))) > 0
+              THEN 1.0 - list_sum(list_transform(list_distinct(ps), x -> length(x)))
+                   / CAST(list_sum(list_transform(ps, x -> length(x))) AS DOUBLE)
+              ELSE 0.0 END AS dup_para_char_frac
+       FROM ln),
+w AS (SELECT doc_id, length(t) AS total,
+         regexp_split_to_array(lower(trim(t)), '\s+') AS ws FROM tt),
+g AS (SELECT doc_id, total, nn.n,
+         unnest(CASE WHEN len(ws) >= nn.n
+           THEN list_transform(generate_series(1, len(ws) - nn.n + 1),
+                i -> array_to_string(ws[i:i+nn.n-1], ' '))
+           ELSE [] END) AS gram
+       FROM w CROSS JOIN (VALUES (2), (3), (5)) nn(n)),
+c AS (SELECT doc_id, total, n, gram, count(*) AS cnt FROM g GROUP BY ALL),
+pn AS (SELECT doc_id, total, n,
+         max(cnt * length(gram)) AS top_cover,
+         sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS dup_cover
+       FROM c GROUP BY ALL),
+nf AS (SELECT doc_id,
+         max(CASE WHEN n = 2 THEN least(top_cover / CAST(total AS DOUBLE), 1.0) END) AS t2,
+         max(CASE WHEN n = 3 THEN least(top_cover / CAST(total AS DOUBLE), 1.0) END) AS t3,
+         max(CASE WHEN n = 5 THEN least(dup_cover / CAST(total AS DOUBLE), 1.0) END) AS d5
+       FROM pn GROUP BY doc_id)
+SELECT lf.doc_id,
+       round(dup_line_frac, 6) AS dup_line_frac,
+       round(dup_line_char_frac, 6) AS dup_line_char_frac,
+       round(dup_para_frac, 6) AS dup_para_frac,
+       round(dup_para_char_frac, 6) AS dup_para_char_frac,
+       round(coalesce(nf.t2, 0.0), 6) AS top2_gram_char_frac,
+       round(coalesce(nf.t3, 0.0), 6) AS top3_gram_char_frac,
+       round(coalesce(nf.d5, 0.0), 6) AS dup5_gram_char_frac
+FROM lf LEFT JOIN nf ON nf.doc_id = lf.doc_id
 """
 
 
@@ -1391,6 +1477,7 @@ SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8
         # LSH buckets, and verified pairs reproduce in DuckDB.
         "minhash_pairs": _minhash_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
+        "repetition_features": _repetition_oracle(),
         "simhash_pairs": _simhash_oracle(),
         # embedding_lsh likewise runs on portable deterministic
         # hyperplanes with sequential IEEE folds (bit-identical signs).
