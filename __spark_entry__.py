@@ -55,6 +55,7 @@ from linkgraph.graph.hits import hits
 from linkgraph.graph.linkpred import link_prediction
 from linkgraph.graph.bfs import bfs_distances, closeness_centrality
 from linkgraph.graph.sssp import shortest_paths
+from linkgraph.graph.walks import walk_corpus
 from linkgraph.graph.scc import strongly_connected_components
 from linkgraph.multimodal.media import extract_features, synthetic_media
 from linkgraph.sim.ann import brute_force_topk, ivf_topk
@@ -379,6 +380,21 @@ def _q_minhash(spark, sf):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_random_walks(spark, sf):
+    # Deterministic walk corpus on the dense graph: 1 walk per vertex
+    # (walk_id = vertex id), 8 steps, hash-seeded neighbor choice that
+    # the DuckDB oracle replays exactly (same LCG constants, same
+    # sorted adjacency).
+    corpus = walk_corpus(
+        datasets.co_purchase_edges(spark, sf), walk_length=8, walks_per_vertex=1
+    )
+    return corpus.select(
+        F.col("walk_id").cast("long").alias("walk_id"),
+        F.col("step").cast("long").alias("step"),
+        F.col("vertex").cast("long").alias("vertex"),
+    )
+
+
 def _q_repetition(spark, sf):
     # Gopher repetition signals. The synthetic docs are single-line, so
     # both sides first synthesize identical line/paragraph structure
@@ -624,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash,
         "dedup_clusters": _q_dedup_clusters,
         "repetition_features": _q_repetition,
+        "random_walks": _q_random_walks,
         "simhash_pairs": _q_simhash,
         "ngram_jaccard": _q_ngram,
         "media_features": _q_media_features,
@@ -1478,6 +1495,23 @@ SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8
         "minhash_pairs": _minhash_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "repetition_features": _repetition_oracle(),
+        # Deterministic walk replay: same sorted adjacency, same LCG
+        # ((wid%P)*A + step*B + C) % P mod degree, 1-based list index.
+        "random_walks": f"""
+WITH RECURSIVE {_E_DENSE},
+b AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+adj AS (SELECT src AS id, list_sort(list(dst)) AS nbrs FROM b GROUP BY src),
+w(wid, step, cur) AS (
+  SELECT id, 0, id FROM adj
+  UNION ALL
+  SELECT w.wid, w.step + 1,
+         adj.nbrs[1 + CAST((((w.wid % 1000000007) * 1103515245
+                + w.step * 12345 + 1013904223) % 1000000007)
+                % len(adj.nbrs) AS INT)]
+  FROM w JOIN adj ON adj.id = w.cur WHERE w.step < 8)
+SELECT CAST(wid AS BIGINT) AS walk_id, CAST(step AS BIGINT) AS step,
+       CAST(cur AS BIGINT) AS vertex FROM w
+""",
         "simhash_pairs": _simhash_oracle(),
         # embedding_lsh likewise runs on portable deterministic
         # hyperplanes with sequential IEEE folds (bit-identical signs).
