@@ -56,6 +56,7 @@ from linkgraph.graph.linkpred import link_prediction
 from linkgraph.graph.bfs import bfs_distances, closeness_centrality
 from linkgraph.graph.sssp import shortest_paths
 from linkgraph.graph.walks import walk_corpus
+from linkgraph.graph.ego import ego_network
 from linkgraph.graph.scc import strongly_connected_components
 from linkgraph.multimodal.media import extract_features, synthetic_media
 from linkgraph.sim.ann import brute_force_topk, ivf_topk
@@ -380,6 +381,19 @@ def _q_minhash(spark, sf):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_ego(spark, sf):
+    # 2-hop ego networks around the 4 smallest vertex ids of the dense
+    # graph; emits the induced edges (root, src, dst). Same seed
+    # derivation and depth cap as the BFS oracle.
+    edges = datasets.co_purchase_edges(spark, sf)
+    roots = [
+        r["id"]
+        for r in E.degrees(edges).select("id").orderBy("id").limit(4).collect()
+    ]
+    ego = ego_network(edges, roots, k=2)
+    return ego.edges.select("root", "src", "dst")
+
+
 def _q_random_walks(spark, sf):
     # Deterministic walk corpus on the dense graph: 1 walk per vertex
     # (walk_id = vertex id), 8 steps, hash-seeded neighbor choice that
@@ -641,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "repetition_features": _q_repetition,
         "random_walks": _q_random_walks,
+        "ego_edges": _q_ego,
         "simhash_pairs": _q_simhash,
         "ngram_jaccard": _q_ngram,
         "media_features": _q_media_features,
@@ -1495,6 +1510,22 @@ SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8
         "minhash_pairs": _minhash_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "repetition_features": _repetition_oracle(),
+        # Induced 2-hop ego subgraphs: BFS ball per root, then edges
+        # with both endpoints inside the ball.
+        "ego_edges": f"""
+WITH RECURSIVE {_E_DENSE},
+b AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+v AS (SELECT DISTINCT src AS id FROM b),
+roots AS (SELECT id FROM v ORDER BY id LIMIT 4),
+r(root, id, d) AS (
+  SELECT id, id, 0 FROM roots
+  UNION
+  SELECT r.root, b.dst, r.d + 1 FROM r JOIN b ON r.id = b.src WHERE r.d < 2),
+ball AS (SELECT DISTINCT root, id FROM r)
+SELECT s.root, e.src, e.dst
+FROM e JOIN ball s ON s.id = e.src JOIN ball t
+  ON t.root = s.root AND t.id = e.dst
+""",
         # Deterministic walk replay: same sorted adjacency, same LCG
         # ((wid%P)*A + step*B + C) % P mod degree, 1-based list index.
         "random_walks": f"""
