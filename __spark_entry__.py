@@ -53,7 +53,9 @@ from linkgraph.graph.truss import k_truss_components
 from linkgraph.graph.truss import k_truss, max_truss
 from linkgraph.graph.hits import hits
 from linkgraph.graph.linkpred import link_prediction
-from linkgraph.graph.bfs import bfs_distances, closeness_centrality
+from linkgraph.graph.bfs import bfs_distances, closeness_centrality, eccentricity
+from linkgraph.graph.modularity import community_stats
+from linkgraph.graph.squares import square_count
 from linkgraph.graph.sssp import shortest_paths
 from linkgraph.graph.walks import walk_corpus
 from linkgraph.graph.ego import ego_network
@@ -597,6 +599,37 @@ def _q_bfs(spark, sf):
     )
 
 
+def _q_modularity(spark, sf):
+    # Modularity decomposition of the connected-component partition of
+    # the sparse graph: all edges are internal, so every term is
+    # m_c/m - (D_c/2m)^2 with D_c = 2 m_c — a value-rich per-community
+    # check that shares the CC reach CTE on the oracle side.
+    edges = datasets.sparse_edges(spark, sf)
+    labels = connected_components(edges)
+    return community_stats(edges, labels).select(
+        "label",
+        "n_vertices",
+        F.col("internal_edges").cast("long").alias("internal_edges"),
+        F.col("degree_sum").cast("long").alias("degree_sum"),
+        F.round("modularity_term", 6).alias("modularity_term"),
+    )
+
+
+def _q_square_count(spark, sf):
+    return square_count(datasets.co_purchase_edges(spark, sf, min_quantity=40))
+
+
+def _q_eccentricity(spark, sf):
+    # Landmark eccentricities from the 4 smallest vertex ids; same seed
+    # derivation and depth cap as the BFS oracle.
+    edges = datasets.co_purchase_edges(spark, sf)
+    roots = [
+        r["id"]
+        for r in E.degrees(edges).select("id").orderBy("id").limit(4).collect()
+    ]
+    return eccentricity(edges, roots, max_depth=15)
+
+
 def _q_media_features(spark, sf):
     # Scalar projection: the driver's canonicalizer cannot sort/hash an
     # array column, so posexplode the feature vector to one row per
@@ -658,6 +691,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ego_edges": _q_ego,
         "simhash_pairs": _q_simhash,
         "ngram_jaccard": _q_ngram,
+        "community_modularity": _q_modularity,
+        "square_count": _q_square_count,
+        "eccentricity": _q_eccentricity,
         "media_features": _q_media_features,
         "events_window_counts": _q_events_windows,
         "events_sessionize": _q_events_sessions,
@@ -1542,6 +1578,57 @@ w(wid, step, cur) AS (
   FROM w JOIN adj ON adj.id = w.cur WHERE w.step < 8)
 SELECT CAST(wid AS BIGINT) AS walk_id, CAST(step AS BIGINT) AS step,
        CAST(cur AS BIGINT) AS vertex FROM w
+""",
+        # Modularity decomposition of the CC partition (shares the
+        # reach-closure CTE); sums cast to BIGINT so Spark's
+        # sum(long)->long and DuckDB's sum->hugeint hash identically.
+        "community_modularity": f"""
+WITH RECURSIVE {_E_SPARSE},
+reach(id, r) AS (
+  SELECT src, src FROM b
+  UNION
+  SELECT b.dst, reach.r FROM b JOIN reach ON reach.id = b.src),
+lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+m AS (SELECT count(*) AS m FROM e),
+deg AS (SELECT src AS id, count(*) AS degree FROM b GROUP BY src),
+pl AS (SELECT lab.label, count(*) AS n_vertices,
+              CAST(sum(deg.degree) AS BIGINT) AS degree_sum
+       FROM deg JOIN lab ON lab.id = deg.id GROUP BY lab.label),
+ie AS (SELECT ls.label, count(*) AS internal_edges
+       FROM e JOIN lab ls ON ls.id = e.src JOIN lab ld ON ld.id = e.dst
+       WHERE ls.label = ld.label GROUP BY ls.label)
+SELECT pl.label, pl.n_vertices,
+       coalesce(ie.internal_edges, 0) AS internal_edges,
+       pl.degree_sum,
+       round(coalesce(ie.internal_edges, 0) / CAST(m.m AS DOUBLE)
+             - pow(pl.degree_sum / (2.0 * m.m), 2), 6) AS modularity_term
+FROM pl LEFT JOIN ie ON ie.label = pl.label CROSS JOIN m
+""",
+        # n_squares = sum(cn*(cn-1)) // 4 over wedge-endpoint pairs
+        # (2 per C(cn,2), 2 diagonals per square) — integer-exact.
+        "square_count": f"""
+WITH {_E_TRUSS},
+b AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+w AS (SELECT a1.dst AS u, a2.dst AS v
+      FROM b a1 JOIN b a2 ON a1.src = a2.src AND a1.dst < a2.dst),
+p AS (SELECT u, v, count(*) AS cn FROM w GROUP BY u, v HAVING count(*) >= 2)
+SELECT coalesce(CAST(sum(cn * (cn - 1)) AS BIGINT) // 4, 0) AS n_squares FROM p
+""",
+        # Landmark eccentricity: one aggregate over the BFS recursion
+        # (same seeds and depth cap as bfs_distances).
+        "eccentricity": f"""
+WITH RECURSIVE {_E_DENSE},
+b AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+v AS (SELECT DISTINCT src AS id FROM b),
+roots AS (SELECT id FROM v ORDER BY id LIMIT 4),
+r(root, id, d) AS (
+  SELECT id, id, 0 FROM roots
+  UNION
+  SELECT r.root, b.dst, r.d + 1 FROM r JOIN b ON r.id = b.src WHERE r.d < 15),
+dist AS (SELECT root, id, min(d) AS dist FROM r GROUP BY root, id)
+SELECT root, CAST(max(dist) AS BIGINT) AS eccentricity,
+       CAST(count(*) FILTER (WHERE dist > 0) AS BIGINT) AS n_reached
+FROM dist GROUP BY root
 """,
         "simhash_pairs": _simhash_oracle(),
         # embedding_lsh likewise runs on portable deterministic

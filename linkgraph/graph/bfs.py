@@ -121,3 +121,24 @@ def closeness_centrality(
             F.sum(F.lit(1.0) / F.col("dist")).alias("harmonic"),
         )
     )
+
+
+def eccentricity(
+    edges: DataFrame,
+    sources: list[int],
+    max_depth: int = 100,
+) -> DataFrame:
+    """Per-landmark eccentricity (max hop distance to any reachable
+    vertex) plus reach count; max(eccentricity) over any landmark set
+    is the standard diameter LOWER bound (double sweep seeds its second
+    sweep from the argmax vertex). One aggregate over the multi-source
+    BFS state; roots reaching nothing report eccentricity 0.
+    """
+    res = bfs_distances(edges, sources, max_depth=max_depth)
+    return (
+        res.distances.groupBy("root")
+        .agg(
+            F.max("dist").cast("long").alias("eccentricity"),
+            F.sum((F.col("dist") > 0).cast("int")).cast("long").alias("n_reached"),
+        )
+    )

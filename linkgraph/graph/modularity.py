@@ -1,0 +1,98 @@
+"""Partition quality: Newman modularity of a vertex labeling.
+
+Not in the reference (scope was triangles/truss/CC); this is the
+standard objective for judging the community structures the engine
+already produces (label propagation, connected components, truss
+components) — Newman & Girvan, "Finding and evaluating community
+structure in networks", Phys. Rev. E 69 (2004).
+
+For an undirected graph with m edges and a partition c(.),
+
+  Q = sum over communities c of ( m_c / m  -  (D_c / (2m))^2 )
+
+where m_c = edges with both endpoints in c and D_c = sum of degrees of
+vertices in c (the community-sum form of the usual pairwise
+definition). Vertices missing from `labels` count as singleton
+communities with no internal edges — they contribute only their
+degree-sum term, exactly as the pairwise definition implies.
+
+Plan shape: two hash joins of the edge table against the label table
+(src side, dst side), one aggregate per label for internal edges, one
+for degree sums, one 1-row global aggregate for m joined back by
+broadcast. No self-joins, no wedges: O(E) shuffled by label key.
+
+Scale notes: labels is O(V) so the edge<->label joins shuffle — at
+1e9 edges these are plain co-partitionable hash joins on id (the same
+key the iterative producers of `labels` already partition by, so AQE
+reuses the exchange when the label table comes straight out of
+CC/LPA). The only broadcast is the 1-row total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def community_stats(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community size / internal-edge / degree-sum / modularity term.
+
+    `edges`: canonical undirected (src, dst); `labels`: (id, label).
+    Returns (label, n_vertices, internal_edges, degree_sum,
+    modularity_term) — the graph modularity is sum(modularity_term).
+    """
+    e = edges.select("src", "dst")
+    lab = labels.select("id", "label")
+
+    ls = lab.select(F.col("id").alias("src"), F.col("label").alias("label_src"))
+    ld = lab.select(F.col("id").alias("dst"), F.col("label").alias("label_dst"))
+    tagged = e.join(ls, "src", "left").join(ld, "dst", "left").select(
+        F.coalesce("label_src", "src").alias("label_src"),
+        F.coalesce("label_dst", "dst").alias("label_dst"),
+    )
+
+    internal = (
+        tagged.where(F.col("label_src") == F.col("label_dst"))
+        .groupBy(F.col("label_src").alias("label"))
+        .agg(F.count(F.lit(1)).alias("internal_edges"))
+    )
+
+    b = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = b.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    per_label = (
+        deg.join(lab, "id", "left")
+        .select(F.coalesce("label", "id").alias("label"), "degree")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.sum("degree").alias("degree_sum"),
+        )
+    )
+
+    total = e.agg(F.count(F.lit(1)).alias("m"))
+    stats = (
+        per_label.join(internal, "label", "left")
+        .join(F.broadcast(total))
+        .select(
+            "label",
+            "n_vertices",
+            F.coalesce("internal_edges", F.lit(0)).alias("internal_edges"),
+            "degree_sum",
+            (
+                F.coalesce("internal_edges", F.lit(0)) / F.col("m")
+                - (F.col("degree_sum") / (2.0 * F.col("m"))) ** 2
+            ).alias("modularity_term"),
+        )
+    )
+    return stats
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Graph modularity Q of the labeling, as a 1-row (modularity) frame."""
+    return community_stats(edges, labels).agg(
+        F.sum("modularity_term").alias("modularity")
+    )

@@ -1,0 +1,178 @@
+"""Modularity, square counting, and landmark eccentricity vs
+brute-force python oracles."""
+
+from __future__ import annotations
+
+from collections import deque
+from itertools import combinations
+
+from linkgraph.graph.bfs import eccentricity
+from linkgraph.graph.components import connected_components
+from linkgraph.graph.modularity import community_stats, modularity
+from linkgraph.graph.squares import square_count
+from tests.conftest import (
+    SMALL_TWITTER,
+    complete_graph,
+    edge_df,
+    gnp_graph,
+    ring_of_cliques,
+)
+
+
+# -- python oracles ----------------------------------------------------------
+
+
+def brute_modularity(pairs, labels):
+    m = len(pairs)
+    adj: dict[int, int] = {}
+    for a, b in pairs:
+        adj[a] = adj.get(a, 0) + 1
+        adj[b] = adj.get(b, 0) + 1
+    lab = {v: labels.get(v, v) for v in adj}
+    q = 0.0
+    communities = set(lab.values())
+    for c in communities:
+        mc = sum(1 for a, b in pairs if lab[a] == c and lab[b] == c)
+        dc = sum(d for v, d in adj.items() if lab[v] == c)
+        q += mc / m - (dc / (2 * m)) ** 2
+    return q
+
+
+def brute_squares(pairs):
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = 0
+    for u, v in combinations(sorted(adj), 2):
+        cn = len(adj[u] & adj[v])
+        n += cn * (cn - 1) // 2
+    return n // 2
+
+
+def brute_ecc(pairs, root):
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {root: 0}
+    q = deque([root])
+    while q:
+        u = q.popleft()
+        for w in adj.get(u, ()):
+            if w not in dist:
+                dist[w] = dist[u] + 1
+                q.append(w)
+    return max(dist.values()), len(dist) - 1
+
+
+# -- modularity --------------------------------------------------------------
+
+
+def test_modularity_ring_of_cliques(spark):
+    # 4 cliques of 5 joined in a ring: per-clique labels give the
+    # classic high-Q partition; the python oracle is the ground truth.
+    df = ring_of_cliques(spark, 4, 5)
+    pairs = [(r["src"], r["dst"]) for r in df.collect()]
+    labels = {v: v // 5 for v in {x for p in pairs for x in p}}
+    lab_df = spark.createDataFrame(list(labels.items()), "id long, label long")
+    got = modularity(df, lab_df).collect()[0]["modularity"]
+    assert abs(got - brute_modularity(pairs, labels)) < 1e-9
+    assert got > 0.5
+
+
+def test_modularity_single_community_is_zero(spark):
+    # Everything in one community: Q = m/m - (2m/2m)^2 = 0.
+    df = complete_graph(spark, 6)
+    lab = spark.createDataFrame([(i, 1) for i in range(1, 7)], "id long, label long")
+    got = modularity(df, lab).collect()[0]["modularity"]
+    assert abs(got) < 1e-12
+
+
+def test_modularity_missing_labels_are_singletons(spark):
+    df = edge_df(spark, SMALL_TWITTER)
+    pairs = SMALL_TWITTER
+    labels = {1: 100, 2: 100, 3: 100}  # 4..7 unlabeled -> singletons
+    lab_df = spark.createDataFrame(list(labels.items()), "id long, label long")
+    got = modularity(df, lab_df).collect()[0]["modularity"]
+    assert abs(got - brute_modularity(pairs, labels)) < 1e-9
+
+
+def test_community_stats_shape(spark):
+    df = ring_of_cliques(spark, 3, 4)
+    labels = connected_components(df)
+    stats = community_stats(df, labels).collect()
+    # one ring -> one component covering all 12 vertices and 21 edges
+    assert len(stats) == 1
+    row = stats[0]
+    assert row["n_vertices"] == 12
+    assert row["internal_edges"] == 3 * 6 + 3
+    assert row["degree_sum"] == 2 * row["internal_edges"]
+
+
+# -- squares -----------------------------------------------------------------
+
+
+def test_square_count_c4(spark):
+    df = edge_df(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    assert square_count(df).collect()[0]["n_squares"] == 1
+
+
+def test_square_count_k4(spark):
+    # K4 has 3 four-cycles (each omits one perfect matching).
+    df = complete_graph(spark, 4)
+    assert square_count(df).collect()[0]["n_squares"] == 3
+
+
+def test_square_count_gnp(spark):
+    df = gnp_graph(spark, n=60, p=0.1, seed=7)
+    pairs = [(r["src"], r["dst"]) for r in df.collect()]
+    got = square_count(df).collect()[0]["n_squares"]
+    assert got == brute_squares(pairs)
+
+
+def test_square_count_triangle_free(spark):
+    # path graph: no squares
+    df = edge_df(spark, [(i, i + 1) for i in range(10)])
+    assert square_count(df).collect()[0]["n_squares"] == 0
+
+
+def test_square_hub_cap_matches_capped_brute(spark):
+    pairs = [(0, i) for i in range(1, 8)] + [(1, 2), (2, 3), (3, 1)]
+    df = edge_df(spark, pairs)
+    # cap below the hub degree: wedges through vertex 0 vanish
+    capped = square_count(df, max_center_degree=4).collect()[0]["n_squares"]
+    surviving = [(a, b) for a, b in pairs]  # same edges; cap is center-side
+    # brute force with hub-centered wedges removed
+    adj: dict[int, set[int]] = {}
+    for a, b in surviving:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    n = 0
+    for u, v in combinations(sorted(adj), 2):
+        cn = len({w for w in adj[u] & adj[v] if deg[w] <= 4})
+        n += cn * (cn - 1) // 2
+    assert capped == n // 2
+
+
+# -- eccentricity ------------------------------------------------------------
+
+
+def test_eccentricity_small_twitter(spark, small_twitter):
+    got = {
+        r["root"]: (r["eccentricity"], r["n_reached"])
+        for r in eccentricity(small_twitter, [1, 4, 7]).collect()
+    }
+    for root in (1, 4, 7):
+        assert got[root] == brute_ecc(SMALL_TWITTER, root)
+
+
+def test_eccentricity_isolated_root(spark):
+    df = edge_df(spark, [(1, 2), (2, 3)])
+    got = {
+        r["root"]: (r["eccentricity"], r["n_reached"])
+        for r in eccentricity(df, [1, 99]).collect()
+    }
+    assert got[1] == (2, 2)
+    assert got[99] == (0, 0)
