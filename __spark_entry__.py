@@ -62,7 +62,11 @@ from linkgraph.graph.ego import ego_network
 from linkgraph.graph.scc import strongly_connected_components
 from linkgraph.multimodal.media import extract_features, synthetic_media
 from linkgraph.sim.ann import brute_force_topk, ivf_topk
+from linkgraph.dedup.paragraphs import paragraph_dedup
 from linkgraph.text.analysis import language_id, quality_features, token_stats
+from linkgraph.text.c4 import c4_filters
+from linkgraph.text.lm import unigram_lm_scores
+from linkgraph.text.pii import pii_features, redact_pii
 from linkgraph.text.tfidf import tfidf_top_terms
 from linkgraph.text.decontam import ngram_contamination
 from linkgraph.sampling import hash_sample
@@ -599,6 +603,67 @@ def _q_bfs(spark, sf):
     )
 
 
+def _q_unigram_lm(spark, sf):
+    d = datasets.load(spark, sf, "documents").select("doc_id", "text")
+    s = unigram_lm_scores(d)
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+        F.round("perplexity", 6).alias("perplexity"),
+    )
+
+
+def _q_c4_filters(spark, sf):
+    # The synthetic docs are unpunctuated single-line word soup, so
+    # both sides first synthesize identical line/sentence/brace
+    # structure with literal replaces (' the ' -> '.\n', ' data ' ->
+    # '?\n', ' vector ' -> ' { '), then run the C4 rules over it.
+    d = datasets.load(spark, sf, "documents").select("doc_id", "text")
+    t = F.replace(F.col("text"), F.lit(" the "), F.lit(".\n"))
+    t = F.replace(t, F.lit(" data "), F.lit("?\n"))
+    t = F.replace(t, F.lit(" vector "), F.lit(" { "))
+    feats = c4_filters(d.select("doc_id", t.alias("text")), min_words_per_line=3)
+    return feats.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        "n_sentences",
+        F.col("has_brace").cast("int").alias("has_brace"),
+        F.col("has_lorem").cast("int").alias("has_lorem"),
+        F.col("keep_doc").cast("int").alias("keep_doc"),
+        "text_clean",
+    )
+
+
+def _q_paragraph_dedup(spark, sf):
+    # Paragraph structure synthesized with ' the ' -> blank line; the
+    # doubled corpus guarantees cross-document duplicates (every
+    # paragraph of the +100000 copy), within-doc dups occur naturally.
+    d = _docs2(spark, sf)
+    t = F.replace(F.col("text"), F.lit(" the "), F.lit("\n\n"))
+    return paragraph_dedup(d.select("doc_id", t.alias("text")))
+
+
+def _q_pii(spark, sf):
+    # Deterministic PII injection (every 5th doc gets an email, an IP,
+    # and a phone appended) — the base corpus has none, and the oracle
+    # performs the identical concat.
+    d = datasets.load(spark, sf, "documents").select("doc_id", "text")
+    suffix = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat_ws(
+            "",
+            F.lit(" mail u"),
+            F.col("doc_id"),
+            F.lit("@ex.org ip 10.1.2.3 call +12345678901"),
+        ),
+    ).otherwise(F.lit(""))
+    d2 = d.select("doc_id", F.concat(F.col("text"), suffix).alias("text"))
+    out = redact_pii(pii_features(d2))
+    return out.select("doc_id", "n_emails", "n_ipv4", "n_phones", "text_redacted")
+
+
 def _q_modularity(spark, sf):
     # Modularity decomposition of the connected-component partition of
     # the sparse graph: all edges are internal, so every term is
@@ -691,6 +756,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ego_edges": _q_ego,
         "simhash_pairs": _q_simhash,
         "ngram_jaccard": _q_ngram,
+        "unigram_lm": _q_unigram_lm,
+        "c4_filter_stats": _q_c4_filters,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "pii_redaction": _q_pii,
         "community_modularity": _q_modularity,
         "square_count": _q_square_count,
         "eccentricity": _q_eccentricity,
@@ -1578,6 +1647,117 @@ w(wid, step, cur) AS (
   FROM w JOIN adj ON adj.id = w.cur WHERE w.step < 8)
 SELECT CAST(wid AS BIGINT) AS walk_id, CAST(step AS BIGINT) AS step,
        CAST(cur AS BIGINT) AS vertex FROM w
+""",
+        # Add-one-smoothed unigram LM over the corpus itself; per-doc
+        # token-weighted mean log-prob. Sums cast to BIGINT; the only
+        # float divergence is per-doc summation order (~1e-15), far
+        # below the 6-decimal rounding.
+        "unigram_lm": r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+           FROM documents WHERE length(trim(text)) > 0),
+tok AS (SELECT doc_id, unnest(ws) AS term FROM t),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+corpus AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY term),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_total, count(*) AS v FROM corpus),
+s AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+             sum(tf.tf * ln((corpus.cnt + 1.0) / (tot.t_total + tot.v)))
+               / sum(tf.tf) AS lp
+      FROM tf JOIN corpus USING (term) CROSS JOIN tot
+      GROUP BY tf.doc_id)
+SELECT doc_id, n_tokens, round(lp, 6) AS avg_logprob,
+       round(exp(-lp), 6) AS perplexity
+FROM s
+""",
+        # C4 line/doc rules over synthesized structure (same literal
+        # replaces as the Spark query): keep lines ending in [.!?"]
+        # with >= 3 words; doc kept iff >= 3 sentences, no brace, no
+        # 'lorem ipsum'.
+        "c4_filter_stats": r"""
+WITH tt AS (SELECT doc_id,
+              replace(replace(replace(text, ' the ', '.' || chr(10)),
+                      ' data ', '?' || chr(10)), ' vector ', ' { ') AS t
+            FROM documents),
+ln AS (SELECT doc_id, t,
+         list_filter(string_split(t, chr(10)), x -> trim(x) != '') AS ls
+       FROM tt),
+kp AS (SELECT doc_id, t, ls,
+         list_transform(list_filter(ls, x ->
+           right(trim(x), 1) IN ('.', '!', '?', '"')
+           AND len(regexp_split_to_array(trim(x), '\s+')) >= 3),
+           x -> trim(x)) AS ks
+       FROM ln),
+agg AS (SELECT doc_id,
+          len(ls) AS n_lines, len(ks) AS n_kept_lines,
+          -- DuckDB's array_to_string([]) is NULL, Spark's array_join is ''
+          coalesce(array_to_string(ks, chr(10)), '') AS text_clean,
+          (contains(t, '{') OR contains(t, '}')) AS has_brace,
+          contains(lower(t), 'lorem ipsum') AS has_lorem
+        FROM kp),
+s AS (SELECT *, len(regexp_extract_all(text_clean, '[.!?]', 0)) AS n_sentences
+      FROM agg)
+SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_kept_lines AS BIGINT) AS n_kept_lines,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(has_brace AS INT) AS has_brace,
+       CAST(has_lorem AS INT) AS has_lorem,
+       CAST((n_sentences >= 3 AND NOT has_brace AND NOT has_lorem) AS INT)
+         AS keep_doc,
+       text_clean
+FROM s
+""",
+        # Corpus-global paragraph dedup: first (doc, pos) occurrence of
+        # each distinct trimmed paragraph survives; docs rebuilt in
+        # paragraph order.
+        "paragraph_dedup": f"""
+WITH {_DOCS2},
+tt AS (SELECT doc_id,
+         string_split(replace(text, ' the ', chr(10) || chr(10)),
+                      chr(10) || chr(10)) AS ps
+       FROM d2),
+p AS (SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(ps)),
+          i -> struct_pack(pos := i - 1, para := trim(ps[i]))),
+          recursive := true)
+      FROM tt),
+pp AS (SELECT doc_id, pos, para FROM p WHERE para != ''),
+rk AS (SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+       FROM pp),
+np AS (SELECT doc_id, count(*) AS n_paras FROM pp GROUP BY doc_id),
+nk AS (SELECT doc_id, count(*) AS n_kept,
+         string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text_dedup
+       FROM rk WHERE rn = 1 GROUP BY doc_id)
+SELECT d2.doc_id, coalesce(np.n_paras, 0) AS n_paras,
+       coalesce(nk.n_kept, 0) AS n_kept,
+       coalesce(nk.text_dedup, '') AS text_dedup
+FROM d2 LEFT JOIN np USING (doc_id) LEFT JOIN nk USING (doc_id)
+""",
+        # PII counts + redaction over the identically-injected corpus;
+        # patterns live in the Java-regex ∩ RE2 subset, replacement
+        # order email -> ip -> phone on both sides.
+        "pii_redaction": r"""
+WITH t AS (SELECT doc_id,
+             text || CASE WHEN doc_id % 5 = 0
+               THEN ' mail u' || CAST(doc_id AS VARCHAR)
+                    || '@ex.org ip 10.1.2.3 call +12345678901'
+               ELSE '' END AS text
+           FROM documents),
+c AS (SELECT doc_id, text,
+        len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS n_emails,
+        len(regexp_extract_all(text,
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', 0)) AS n_ipv4,
+        len(regexp_extract_all(text, '\+\d{7,15}', 0)) AS n_phones
+      FROM t)
+SELECT doc_id,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+       CAST(n_phones AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+         '\+\d{7,15}', '<PHONE>', 'g') AS text_redacted
+FROM c
 """,
         # Modularity decomposition of the CC partition (shares the
         # reach-closure CTE); sums cast to BIGINT so Spark's
