@@ -59,6 +59,7 @@ from linkgraph.graph.squares import square_count
 from linkgraph.graph.sssp import shortest_paths
 from linkgraph.graph.walks import walk_corpus
 from linkgraph.graph.ego import ego_network
+from linkgraph.graph.layers import condensation, topological_layers
 from linkgraph.graph.scc import strongly_connected_components
 from linkgraph.multimodal.media import extract_features, synthetic_media
 from linkgraph.sim.ann import brute_force_topk, ivf_topk
@@ -147,6 +148,30 @@ chk AS (SELECT CASE WHEN
           <> (SELECT count(*) FROM peel WHERE it = {_PEEL_MAXIT - 1})
         THEN error('truss oracle: peel not at fixpoint within maxit rounds')
         ELSE 1 END AS ok)
+"""
+
+# Directed co-purchase digraph -> SCC labels by definition (transitive
+# closure + mutual pairs). Shared by the scc_labels and topo_layers
+# oracles; ends in `e` (directed edges) and `lab` (id, label).
+_SCC_CTE = """
+ps AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       WHERE l_quantity >= 46),
+eu AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+       FROM ps a JOIN ps b ON a.ok = b.ok AND a.pk < b.pk),
+e AS (SELECT CASE WHEN (src + dst) % 2 = 0 THEN src ELSE dst END AS src,
+             CASE WHEN (src + dst) % 2 = 0 THEN dst ELSE src END AS dst FROM eu),
+reach(a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT reach.a, e.dst FROM reach JOIN e ON reach.b = e.src),
+mutual AS (SELECT r1.a AS v, r1.b AS w
+           FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+verts AS (SELECT DISTINCT src AS id FROM
+          (SELECT src FROM e UNION ALL SELECT dst FROM e) t),
+lab AS (SELECT verts.id,
+               least(verts.id, coalesce(min(mutual.w), verts.id)) AS label
+        FROM verts LEFT JOIN mutual ON mutual.v = verts.id
+        GROUP BY verts.id)
 """
 
 _DOCS2 = """
@@ -538,6 +563,22 @@ def _q_scc(spark, sf):
     return res.labels
 
 
+def _q_topo_layers(spark, sf):
+    # Parallel build order of the SCC condensation of the directed
+    # co-purchase digraph; the oracle layers the identical DAG by
+    # walk-length max.
+    edges = datasets.directed_copurchase(spark, sf)
+    labels = strongly_connected_components(edges).labels
+    res = topological_layers(
+        condensation(edges, labels),
+        max_iter=100,
+        vertices=labels.select(F.col("label").alias("id")).distinct(),
+    )
+    if not res.converged:
+        raise RuntimeError("topological_layers: cycle or cap hit on condensation")
+    return res.layers.select("id", F.col("layer").cast("long").alias("layer"))
+
+
 def _q_tfidf(spark, sf):
     d = datasets.load(spark, sf, "documents").select("doc_id", "text")
     out = tfidf_top_terms(d, k=5, min_df=2)
@@ -733,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_distances": _q_bfs,
         "sssp_weighted": _q_sssp,
         "scc_labels": _q_scc,
+        "topo_layers": _q_topo_layers,
         "closeness_centrality": _q_closeness,
         "pagerank_weighted": _q_pagerank_weighted,
         "clustering_coefficient": _q_clustering,
@@ -1296,25 +1338,29 @@ FROM dist WHERE dist > 0 GROUP BY root
         # SCC ground truth by definition: transitive closure, mutual
         # pairs, min mutual partner per vertex (singletons label
         # themselves) — independent of the engine's FW-BW-MIN rounds.
-        "scc_labels": """
-WITH RECURSIVE
-ps AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-       WHERE l_quantity >= 46),
-eu AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
-       FROM ps a JOIN ps b ON a.ok = b.ok AND a.pk < b.pk),
-e AS (SELECT CASE WHEN (src + dst) % 2 = 0 THEN src ELSE dst END AS src,
-             CASE WHEN (src + dst) % 2 = 0 THEN dst ELSE src END AS dst FROM eu),
-reach(a, b) AS (
-  SELECT src, dst FROM e
+        "scc_labels": f"""
+WITH RECURSIVE {_SCC_CTE}
+SELECT id, label FROM lab
+""",
+        # Longest-path layering of the SCC condensation: enumerate all
+        # source-anchored walk lengths over the condensed DAG (UNION
+        # dedup bounds rows at V * cap), layer = max. The cap guard
+        # errors rather than silently truncating a deeper critical path.
+        "topo_layers": f"""
+WITH RECURSIVE {_SCC_CTE},
+ce AS (SELECT DISTINCT ls.label AS src, ld.label AS dst
+       FROM e JOIN lab ls ON ls.id = e.src JOIN lab ld ON ld.id = e.dst
+       WHERE ls.label <> ld.label),
+cv AS (SELECT DISTINCT label AS id FROM lab),
+walk(id, d) AS (
+  SELECT id, 0 FROM cv WHERE id NOT IN (SELECT dst FROM ce)
   UNION
-  SELECT reach.a, e.dst FROM reach JOIN e ON reach.b = e.src),
-mutual AS (SELECT r1.a AS v, r1.b AS w
-           FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
-verts AS (SELECT DISTINCT src AS id FROM
-          (SELECT src FROM e UNION ALL SELECT dst FROM e) t)
-SELECT verts.id, least(verts.id, coalesce(min(mutual.w), verts.id)) AS label
-FROM verts LEFT JOIN mutual ON mutual.v = verts.id
-GROUP BY verts.id
+  SELECT ce.dst, walk.d + 1 FROM walk JOIN ce ON ce.src = walk.id
+  WHERE walk.d < 100),
+lchk AS (SELECT CASE WHEN (SELECT max(d) FROM walk) >= 100
+           THEN error('topo oracle: walk cap binding (cycle or deep path)')
+           ELSE 1 END AS ok)
+SELECT id, CAST(max(d) AS BIGINT) AS layer FROM walk, lchk GROUP BY id
 """,
         # Stop rule mirrors labelprop.py: the loop ends at the FIRST
         # round t whose state equals state(t-1) (fixpoint) or
