@@ -53,6 +53,7 @@ from linkgraph.graph.truss import k_truss_components
 from linkgraph.graph.truss import k_truss, max_truss
 from linkgraph.graph.hits import hits
 from linkgraph.graph.linkpred import link_prediction
+from linkgraph.graph.betweenness import betweenness_centrality
 from linkgraph.graph.bfs import bfs_distances, closeness_centrality, eccentricity
 from linkgraph.graph.modularity import community_stats
 from linkgraph.graph.squares import square_count
@@ -563,6 +564,22 @@ def _q_scc(spark, sf):
     return res.labels
 
 
+def _q_betweenness(spark, sf):
+    # Landmark Brandes from the 4 smallest vertex ids on the truss
+    # graph; the oracle replays forward sigma and backward delta
+    # recursions level-by-level. Sigma values are integral doubles
+    # (exact in both engines); delta noise is summation-order only.
+    edges = datasets.co_purchase_edges(spark, sf, min_quantity=40)
+    roots = [
+        r["id"]
+        for r in E.degrees(edges).select("id").orderBy("id").limit(4).collect()
+    ]
+    res = betweenness_centrality(edges, roots, max_depth=15)
+    return res.scores.select(
+        "id", F.round("betweenness", 6).alias("betweenness")
+    )
+
+
 def _q_topo_layers(spark, sf):
     # Parallel build order of the SCC condensation of the directed
     # co-purchase digraph; the oracle layers the identical DAG by
@@ -775,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_weighted": _q_sssp,
         "scc_labels": _q_scc,
         "topo_layers": _q_topo_layers,
+        "betweenness": _q_betweenness,
         "closeness_centrality": _q_closeness,
         "pagerank_weighted": _q_pagerank_weighted,
         "clustering_coefficient": _q_clustering,
@@ -1341,6 +1359,62 @@ FROM dist WHERE dist > 0 GROUP BY root
         "scc_labels": f"""
 WITH RECURSIVE {_SCC_CTE}
 SELECT id, label FROM lab
+""",
+        # Brandes landmark betweenness, replayed as three chained
+        # recursions: hop distances (min over walks), forward sigma
+        # (per-level path-count sums restricted to the shortest-path
+        # DAG via the dist join), backward delta (deepest level first;
+        # the working table holds exactly the previous level's deltas,
+        # so prev IS the successor set). Sigma values are integral, so
+        # both engines' doubles are exact; delta differs only by
+        # summation order (~1e-15), far under the 6-decimal rounding.
+        "betweenness": f"""
+WITH RECURSIVE {_E_TRUSS},
+b AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+v AS (SELECT DISTINCT src AS id FROM b),
+roots AS (SELECT id FROM v ORDER BY id LIMIT 4),
+r(root, id, d) AS (
+  SELECT id, id, 0 FROM roots
+  UNION
+  SELECT r.root, b.dst, r.d + 1 FROM r JOIN b ON r.id = b.src WHERE r.d < 15),
+dist AS (SELECT root, id, min(d) AS dist FROM r GROUP BY root, id),
+sg(d, root, id, sigma) AS (
+  SELECT 0, id, id, CAST(1.0 AS DOUBLE) FROM roots
+  UNION ALL
+  SELECT sg.d + 1, sg.root, b.dst, sum(sg.sigma)
+  FROM sg JOIN b ON b.src = sg.id
+  JOIN dist ON dist.root = sg.root AND dist.id = b.dst
+           AND dist.dist = sg.d + 1
+  WHERE sg.d < 15
+  GROUP BY sg.d, sg.root, b.dst),
+sig AS (SELECT root, id, sigma FROM sg),
+lmax AS (SELECT max(dist) AS L FROM dist),
+dl(lvl, root, id, delta) AS (
+  SELECT dist.dist, dist.root, dist.id, CAST(0.0 AS DOUBLE)
+  FROM dist, lmax WHERE dist.dist = lmax.L
+  UNION ALL
+  SELECT * FROM (
+    WITH prev AS (SELECT lvl, root, id, delta FROM dl),
+    curlvl AS (SELECT (SELECT min(lvl) FROM prev) - 1 AS L),
+    cur AS (SELECT dist.root, dist.id FROM dist, curlvl
+            WHERE dist.dist = curlvl.L),
+    contrib AS (
+      SELECT cur.root, cur.id,
+             sum(su.sigma / sw.sigma * (1 + prev.delta)) AS dd
+      FROM cur
+      JOIN sig su ON su.root = cur.root AND su.id = cur.id
+      JOIN b ON b.src = cur.id
+      JOIN prev ON prev.root = cur.root AND prev.id = b.dst
+      JOIN sig sw ON sw.root = cur.root AND sw.id = b.dst
+      GROUP BY cur.root, cur.id)
+    SELECT (SELECT L FROM curlvl), cur.root, cur.id,
+           coalesce(contrib.dd, 0.0)
+    FROM cur LEFT JOIN contrib
+      ON contrib.root = cur.root AND contrib.id = cur.id
+  ) t
+  WHERE (SELECT min(lvl) FROM dl) > 0)
+SELECT id, round(sum(delta), 6) AS betweenness
+FROM dl WHERE id != root GROUP BY id
 """,
         # Longest-path layering of the SCC condensation: enumerate all
         # source-anchored walk lengths over the condensed DAG (UNION
