@@ -61,6 +61,7 @@ from linkgraph.graph.sssp import shortest_paths
 from linkgraph.graph.walks import walk_corpus
 from linkgraph.graph.ego import ego_network
 from linkgraph.graph.layers import condensation, topological_layers
+from linkgraph.graph.mis import maximal_independent_set
 from linkgraph.graph.scc import strongly_connected_components
 from linkgraph.multimodal.media import extract_features, synthetic_media
 from linkgraph.sim.ann import brute_force_topk, ivf_topk
@@ -564,6 +565,13 @@ def _q_scc(spark, sf):
     return res.labels
 
 
+def _q_mis(spark, sf):
+    # Luby MIS on the sparse graph; fully deterministic via the
+    # portable (priority, id) rule, so the oracle replays the rounds.
+    res = maximal_independent_set(datasets.sparse_edges(spark, sf))
+    return res.members.select("id")
+
+
 def _q_betweenness(spark, sf):
     # Landmark Brandes from the 4 smallest vertex ids on the truss
     # graph; the oracle replays forward sigma and backward delta
@@ -793,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_labels": _q_scc,
         "topo_layers": _q_topo_layers,
         "betweenness": _q_betweenness,
+        "mis_members": _q_mis,
         "closeness_centrality": _q_closeness,
         "pagerank_weighted": _q_pagerank_weighted,
         "clustering_coefficient": _q_clustering,
@@ -1062,6 +1071,8 @@ SELECT id_a, id_b, round(cosine, 6) AS cosine FROM cosd WHERE cosine >= 0.3
 
 
 def oracle_sql() -> dict[str, str]:
+    from linkgraph.dedup import phash
+
     histo = (
         "SELECT degree, count(*) AS n_vertices FROM "
         "(SELECT id, count(*) AS degree FROM "
@@ -1359,6 +1370,42 @@ FROM dist WHERE dist > 0 GROUP BY root
         "scc_labels": f"""
 WITH RECURSIVE {_SCC_CTE}
 SELECT id, label FROM lab
+""",
+        # Luby MIS round replay: identical portable priorities; the
+        # packed key p * 2^21 + id equals the Spark side's
+        # lexicographic (p, id) comparison because every vertex id at
+        # oracle scale is < 2^21. Termination = no undecided rows left.
+        "mis_members": f"""
+WITH RECURSIVE {_E_SPARSE},
+v AS (SELECT DISTINCT src AS id FROM b),
+luby(it, id, st) AS (
+  SELECT 0, id, 'u' FROM v
+  UNION ALL
+  SELECT * FROM (
+    WITH prev AS (SELECT it, id, st FROM luby),
+    u AS (SELECT id FROM prev WHERE st = 'u'),
+    rn AS (SELECT max(it) + 1 AS r FROM prev),
+    pr AS (SELECT id,
+             ({phash._SEED_A} * ((id * 131 + (SELECT r FROM rn)) % {phash.P1})
+              + {phash._SEED_B}) % {phash.P1} AS p
+           FROM u),
+    eu AS (SELECT b.src, b.dst FROM b
+           JOIN u a ON a.id = b.src JOIN u c ON c.id = b.dst),
+    nb AS (SELECT eu.src AS id, max(pr.p * 2097152 + pr.id) AS mx
+           FROM eu JOIN pr ON pr.id = eu.dst GROUP BY eu.src),
+    win AS (SELECT pr.id FROM pr LEFT JOIN nb ON nb.id = pr.id
+            WHERE nb.mx IS NULL OR pr.p * 2097152 + pr.id > nb.mx),
+    rem AS (SELECT id FROM win
+            UNION SELECT eu.dst FROM eu JOIN win ON win.id = eu.src)
+    SELECT (SELECT r FROM rn) AS it, id, st FROM (
+      SELECT id, 'm' AS st FROM prev WHERE st = 'm'
+      UNION ALL SELECT id, 'm' FROM win
+      UNION ALL SELECT u.id, 'u' FROM u ANTI JOIN rem ON rem.id = u.id
+    ) s
+  ) t
+  WHERE (SELECT count(*) FROM luby WHERE st = 'u') > 0
+)
+SELECT id FROM luby WHERE st = 'm' AND it = (SELECT max(it) FROM luby)
 """,
         # Brandes landmark betweenness, replayed as three chained
         # recursions: hop distances (min over walks), forward sigma
