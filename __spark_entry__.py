@@ -61,6 +61,7 @@ from linkgraph.graph.sssp import shortest_paths
 from linkgraph.graph.walks import walk_corpus
 from linkgraph.graph.ego import ego_network
 from linkgraph.graph.layers import condensation, topological_layers
+from linkgraph.graph.coloring import greedy_coloring
 from linkgraph.graph.mis import maximal_independent_set
 from linkgraph.graph.scc import strongly_connected_components
 from linkgraph.multimodal.media import extract_features, synthetic_media
@@ -572,6 +573,13 @@ def _q_mis(spark, sf):
     return res.members.select("id")
 
 
+def _q_coloring(spark, sf):
+    # Jones–Plassmann coloring on the sparse graph; the static portable
+    # (priority, id) order makes the rounds engine-independent.
+    res = greedy_coloring(datasets.sparse_edges(spark, sf))
+    return res.colors.select("id", "color")
+
+
 def _q_betweenness(spark, sf):
     # Landmark Brandes from the 4 smallest vertex ids on the truss
     # graph; the oracle replays forward sigma and backward delta
@@ -802,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topo_layers": _q_topo_layers,
         "betweenness": _q_betweenness,
         "mis_members": _q_mis,
+        "graph_coloring": _q_coloring,
         "closeness_centrality": _q_closeness,
         "pagerank_weighted": _q_pagerank_weighted,
         "clustering_coefficient": _q_clustering,
@@ -1406,6 +1415,49 @@ luby(it, id, st) AS (
   WHERE (SELECT count(*) FROM luby WHERE st = 'u') > 0
 )
 SELECT id FROM luby WHERE st = 'm' AND it = (SELECT max(it) FROM luby)
+""",
+        # Jones–Plassmann replay: static packed priorities (valid for
+        # ids < 2^21 at oracle scale), winners take the mex of their
+        # colored neighborhoods; every constant mirrors coloring.py.
+        "graph_coloring": f"""
+WITH RECURSIVE {_E_SPARSE},
+v AS (SELECT DISTINCT src AS id FROM b),
+pr0 AS (SELECT id,
+          ({phash._SEED_A} * ((id * 131) % {phash.P1})
+           + {phash._SEED_B}) % {phash.P1} AS p
+        FROM v),
+jp(it, id, p, color) AS (
+  SELECT 0, id, p, CAST(NULL AS BIGINT) FROM pr0
+  UNION ALL
+  SELECT * FROM (
+    WITH prev AS (SELECT it, id, p, color FROM jp),
+    u AS (SELECT id, p FROM prev WHERE color IS NULL),
+    c AS (SELECT id, color FROM prev WHERE color IS NOT NULL),
+    eu AS (SELECT b.src, b.dst FROM b
+           JOIN u a ON a.id = b.src JOIN u d ON d.id = b.dst),
+    nb AS (SELECT eu.src AS id, max(u2.p * 2097152 + u2.id) AS mx
+           FROM eu JOIN u u2 ON u2.id = eu.dst GROUP BY eu.src),
+    win AS (SELECT u.id, u.p FROM u LEFT JOIN nb ON nb.id = u.id
+            WHERE nb.mx IS NULL OR u.p * 2097152 + u.id > nb.mx),
+    wn AS (SELECT b.src AS id, c.color FROM b
+           JOIN win ON win.id = b.src JOIN c ON c.id = b.dst),
+    cs AS (SELECT id, list_distinct(list(color)) AS cols FROM wn GROUP BY id),
+    mexed AS (SELECT win.id, win.p,
+                coalesce(list_min(list_filter(
+                  generate_series(0, len(cs.cols)),
+                  x -> NOT list_contains(cs.cols, x))), 0)::BIGINT AS color
+              FROM win LEFT JOIN cs ON cs.id = win.id)
+    SELECT (SELECT max(it) FROM jp) + 1 AS it, id, p, color FROM (
+      SELECT id, p, color FROM prev WHERE color IS NOT NULL
+      UNION ALL SELECT id, p, color FROM mexed
+      UNION ALL SELECT u.id, u.p, CAST(NULL AS BIGINT)
+                FROM u ANTI JOIN mexed ON mexed.id = u.id
+    ) s
+  ) t
+  WHERE (SELECT count(*) FROM jp WHERE color IS NULL) > 0
+)
+SELECT id, color FROM jp
+WHERE color IS NOT NULL AND it = (SELECT max(it) FROM jp)
 """,
         # Brandes landmark betweenness, replayed as three chained
         # recursions: hop distances (min over walks), forward sigma
