@@ -71,6 +71,7 @@ from linkgraph.text.analysis import language_id, quality_features, token_stats
 from linkgraph.text.c4 import c4_filters
 from linkgraph.text.lm import unigram_lm_scores
 from linkgraph.text.pii import pii_features, redact_pii
+from linkgraph.text.stats import corpus_stats, term_frequencies
 from linkgraph.text.tfidf import tfidf_top_terms
 from linkgraph.text.decontam import ngram_contamination
 from linkgraph.sampling import hash_sample
@@ -677,6 +678,18 @@ def _q_bfs(spark, sf):
     )
 
 
+def _q_term_frequencies(spark, sf):
+    d = datasets.load(spark, sf, "documents").select("doc_id", "text")
+    return term_frequencies(d, top_n=20)
+
+
+def _q_corpus_stats(spark, sf):
+    d = datasets.load(spark, sf, "documents").select("doc_id", "text")
+    return corpus_stats(d, zipf_top=40).select(
+        "n_tokens", "vocab_size", F.round("zipf_slope", 6).alias("zipf_slope")
+    )
+
+
 def _q_unigram_lm(spark, sf):
     d = datasets.load(spark, sf, "documents").select("doc_id", "text")
     s = unigram_lm_scores(d)
@@ -834,6 +847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ego_edges": _q_ego,
         "simhash_pairs": _q_simhash,
         "ngram_jaccard": _q_ngram,
+        "term_frequencies": _q_term_frequencies,
+        "corpus_stats": _q_corpus_stats,
         "unigram_lm": _q_unigram_lm,
         "c4_filter_stats": _q_c4_filters,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -1866,6 +1881,31 @@ w(wid, step, cur) AS (
   FROM w JOIN adj ON adj.id = w.cur WHERE w.step < 8)
 SELECT CAST(wid AS BIGINT) AS walk_id, CAST(step AS BIGINT) AS step,
        CAST(cur AS BIGINT) AS vertex FROM w
+""",
+        "term_frequencies": r"""
+WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+             FROM documents WHERE length(trim(text)) > 0),
+c AS (SELECT term, count(*) AS freq FROM tok GROUP BY term),
+r AS (SELECT term, freq,
+             row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
+      FROM c)
+SELECT rank, term, freq FROM r WHERE rank <= 20
+""",
+        # Zipf fit: population LS slope of ln(freq) on ln(rank) over the
+        # top 40 terms (regr_slope == covar_pop / var_pop).
+        "corpus_stats": r"""
+WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+             FROM documents WHERE length(trim(text)) > 0),
+c AS (SELECT term, count(*) AS freq FROM tok GROUP BY term),
+tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n_tokens, count(*) AS vocab_size
+        FROM c),
+r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
+      FROM c),
+z AS (SELECT regr_slope(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE)))
+        AS zipf_slope
+      FROM r WHERE rank <= 40)
+SELECT tot.n_tokens, tot.vocab_size, round(z.zipf_slope, 6) AS zipf_slope
+FROM tot CROSS JOIN z
 """,
         # Add-one-smoothed unigram LM over the corpus itself; per-doc
         # token-weighted mean log-prob. Sums cast to BIGINT; the only
