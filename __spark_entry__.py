@@ -62,6 +62,7 @@ from linkgraph.graph.walks import walk_corpus
 from linkgraph.graph.ego import ego_network
 from linkgraph.graph.layers import condensation, topological_layers
 from linkgraph.graph.coloring import greedy_coloring
+from linkgraph.graph.katz import katz_centrality
 from linkgraph.graph.mis import maximal_independent_set
 from linkgraph.graph.scc import strongly_connected_components
 from linkgraph.multimodal.media import extract_features, synthetic_media
@@ -574,6 +575,15 @@ def _q_mis(spark, sf):
     return res.members.select("id")
 
 
+def _q_katz(spark, sf):
+    # Fixed 20 synchronous rounds (tol=0) so the oracle recursion depth
+    # matches exactly — the pagerank contract.
+    res = katz_centrality(
+        datasets.sparse_edges(spark, sf), alpha=0.05, beta=1.0, max_iter=20
+    )
+    return res.scores.select("id", F.round("katz", 6).alias("katz"))
+
+
 def _q_coloring(spark, sf):
     # Jones–Plassmann coloring on the sparse graph; the static portable
     # (priority, id) order makes the rounds engine-independent.
@@ -824,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": _q_betweenness,
         "mis_members": _q_mis,
         "graph_coloring": _q_coloring,
+        "katz_centrality": _q_katz,
         "closeness_centrality": _q_closeness,
         "pagerank_weighted": _q_pagerank_weighted,
         "clustering_coefficient": _q_clustering,
@@ -1430,6 +1441,22 @@ luby(it, id, st) AS (
   WHERE (SELECT count(*) FROM luby WHERE st = 'u') > 0
 )
 SELECT id FROM luby WHERE st = 'm' AND it = (SELECT max(it) FROM luby)
+""",
+        # Katz: same fixed-depth recursion contract as pagerank; every
+        # vertex of the bidirected graph has inbound edges, so the
+        # inner join drops nothing.
+        "katz_centrality": f"""
+WITH RECURSIVE {_E_SPARSE},
+v AS (SELECT DISTINCT src AS id FROM b),
+kz(it, id, x) AS (
+  SELECT 0, id, CAST(1.0 AS DOUBLE) FROM v
+  UNION ALL
+  SELECT it + 1, b.dst,
+         CAST(1.0 AS DOUBLE) + CAST(0.05 AS DOUBLE) * sum(kz.x)
+  FROM kz JOIN b ON kz.id = b.src
+  WHERE it < 20
+  GROUP BY it, b.dst)
+SELECT id, round(x, 6) AS katz FROM kz WHERE it = 20
 """,
         # Jones–Plassmann replay: static packed priorities (valid for
         # ids < 2^21 at oracle scale), winners take the mex of their
