@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from linkgraph.checkpoint import Checkpointer
+
 
 @dataclass
 class LayersResult:
@@ -66,6 +68,7 @@ def topological_layers(
     edges: DataFrame,
     max_iter: int = 200,
     vertices: DataFrame | None = None,
+    checkpointer: Checkpointer | None = None,
 ) -> LayersResult:
     """Longest-path layering of a DAG given as directed (src, dst).
 
@@ -74,29 +77,45 @@ def topological_layers(
     critical path longer than the cap). Pass `vertices` (an `id`
     column) to include isolated vertices (layer 0) the edge table
     cannot see — e.g. condensation labels of edge-free components.
+
+    With a durable `checkpointer` every superstep's (id, layer) state
+    lands as a manifest-tracked checkpoint and a rerun resumes from the
+    last complete superstep: the catch-up round restarts at full
+    frontier width, which is safe because max-propagation is monotone —
+    the resumed state only ever rises to the same fixpoint.
     """
+    spark = edges.sparkSession
+    ckpt = checkpointer or Checkpointer(spark, job="topo_layers")
     e = (
         edges.select("src", "dst")
         .repartition("src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    verts = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    if vertices is not None:
-        verts = verts.unionByName(vertices.select("id")).distinct()
-    layers = verts.select(
-        "id", F.lit(0).cast("long").alias("layer")
-    ).localCheckpoint(eager=True)
-    # Initial frontier: true sources only raise nothing (everyone is 0);
-    # the first productive raises come from ALL edges, so round 1 runs
-    # over the full edge set and the workset shrinks from round 2 on.
-    frontier = layers
 
     counters: list[dict] = []
-    it = 0
+    start = ckpt.latest()
+    if start is not None:
+        loaded, manifest = ckpt.load(start)
+        layers = loaded.select("id", "layer")
+        it = int(manifest["superstep"])
+        counters.append({"iteration": it, "resumed": True})
+    else:
+        verts = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        if vertices is not None:
+            verts = verts.unionByName(vertices.select("id")).distinct()
+        layers = verts.select(
+            "id", F.lit(0).cast("long").alias("layer")
+        ).localCheckpoint(eager=True)
+        it = 0
+    # Initial (and resume catch-up) frontier: the full state. True
+    # sources raise nothing in round 1, but the full-width round makes
+    # the workset self-priming; it shrinks from round 2 on.
+    frontier = layers
+
     converged = False
     while it < max_iter:
         t0 = time.time()
@@ -106,14 +125,13 @@ def topological_layers(
             .groupBy(F.col("dst").alias("id"))
             .agg((F.max("layer") + 1).alias("proposed"))
         )
-        merged = (
-            layers.join(proposals, "id", "left")
-            .select(
+        merged = ckpt.save(
+            layers.join(proposals, "id", "left").select(
                 "id",
                 F.greatest("layer", F.coalesce("proposed", F.lit(0))).alias("layer"),
                 (F.coalesce("proposed", F.lit(0)) > F.col("layer")).alias("rose"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            it,
         )
         n_rose = merged.where("rose").count()
         counters.append({"iteration": it, "raised": n_rose, "wall_s": time.time() - t0})

@@ -75,6 +75,27 @@ def test_explicit_vertices_include_isolated(spark):
     assert collect(res.layers) == {1: 0, 2: 1, 9: 0}
 
 
+def test_resume_from_checkpoint(spark, tmp_path):
+    from linkgraph.checkpoint import Checkpointer
+
+    # deep chain => many rounds; cut the first run short, resume, and
+    # land on the same fixpoint as an uncheckpointed run.
+    pairs = [(i, i + 1) for i in range(12)] + [(0, 12)]
+    df = edge_df(spark, pairs)
+    want = collect(topological_layers(df).layers)
+
+    ck = Checkpointer(spark, dir=str(tmp_path), job="topo")
+    partial = topological_layers(df, max_iter=3, checkpointer=ck)
+    assert not partial.converged
+    assert ck.latest() == 3
+
+    ck2 = Checkpointer(spark, dir=str(tmp_path), job="topo")
+    resumed = topological_layers(df, checkpointer=ck2)
+    assert resumed.converged
+    assert resumed.counters[0].get("resumed")
+    assert collect(resumed.layers) == want
+
+
 def test_condensation_is_acyclic_and_layerable(spark):
     # two 3-cycles joined by a bridge plus a tail
     pairs = [(1, 2), (2, 3), (3, 1), (3, 10), (10, 11), (11, 12), (12, 10), (12, 20)]
