@@ -25,6 +25,12 @@ Modes (reference cites in parentheses):
   linkpred        common-neighbor/Jaccard/Adamic-Adar pair scores (scope extension)
   bfs             multi-source BFS hop distances; --sources ids (scope extension)
   scc             strongly connected components of the raw digraph (scope extension)
+  betweenness     landmark Brandes betweenness; --sources ids (scope extension)
+  katz            Katz centrality (scope extension)
+  mis             Luby maximal independent set (scope extension)
+  coloring        Jones-Plassmann greedy coloring (scope extension)
+  layers          topological layers of the SCC condensation (scope extension)
+  modularity      per-community modularity of the CC partition (scope extension)
 
 Input: either a parquet edge table (src, dst) or an edge-list text file
 ("<int><sep><int>" per line, Truss.scala:21-29); detected by extension.
@@ -130,6 +136,46 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         res = bfs_distances(und, sources, max_depth=args.max_iter)
         print(f"bfs depth: {res.iterations}", file=sys.stderr)
         return res.distances
+    if args.mode == "betweenness":
+        from linkgraph.graph.betweenness import betweenness_centrality
+
+        sources = [int(s) for s in (args.sources or "").split(",") if s != ""]
+        if not sources:
+            sources = [r["id"] for r in E.degrees(und).orderBy("id").limit(4).collect()]
+        return betweenness_centrality(und, sources, max_depth=args.max_iter).scores
+    if args.mode == "katz":
+        from linkgraph.graph.katz import katz_centrality
+
+        return katz_centrality(und, max_iter=args.max_iter).scores
+    if args.mode == "mis":
+        from linkgraph.graph.mis import maximal_independent_set
+
+        res = maximal_independent_set(und, max_iter=args.max_iter)
+        print(f"mis rounds: {res.iterations}", file=sys.stderr)
+        return res.members
+    if args.mode == "coloring":
+        from linkgraph.graph.coloring import greedy_coloring
+
+        res = greedy_coloring(und, max_iter=args.max_iter)
+        print(f"coloring rounds: {res.iterations}", file=sys.stderr)
+        return res.colors
+    if args.mode == "layers":
+        from linkgraph.graph.layers import condensation, topological_layers
+        from linkgraph.graph.scc import strongly_connected_components
+
+        labels = strongly_connected_components(raw, max_rounds=args.max_iter).labels
+        res = topological_layers(
+            condensation(raw, labels),
+            max_iter=args.max_iter,
+            vertices=labels.select(F.col("label").alias("id")).distinct(),
+        )
+        print(f"layers: {res.iterations} rounds, converged={res.converged}",
+              file=sys.stderr)
+        return res.layers
+    if args.mode == "modularity":
+        from linkgraph.graph.modularity import community_stats
+
+        return community_stats(und, connected_components(und))
     raise SystemExit(f"unknown mode: {args.mode}")
 
 

@@ -56,6 +56,24 @@ def test_histo_and_pagerank_modes(spark, mini_txt):
     assert abs(sum(r["rank"] for r in pr.collect()) - 1.0) < 1e-6
 
 
+def test_round2_continuation_modes(spark, mini_txt):
+    bc = run(_args("betweenness", mini_txt, sources="1,4"), spark)
+    assert set(bc.columns) == {"id", "betweenness"}
+    assert bc.count() > 0
+    kz = run(_args("katz", mini_txt), spark)
+    assert set(kz.columns) == {"id", "katz"}
+    assert all(r["katz"] >= 1.0 for r in kz.collect())
+    mis = run(_args("mis", mini_txt), spark)
+    assert mis.count() >= 1
+    col = run(_args("coloring", mini_txt), spark)
+    assert set(col.columns) == {"id", "color"}
+    assert col.count() == 10
+    lay = run(_args("layers", mini_txt), spark)
+    assert set(lay.columns) == {"id", "layer"}
+    mod = run(_args("modularity", mini_txt), spark)
+    assert "modularity_term" in mod.columns
+
+
 def test_new_round2_modes(spark, mini_txt):
     h = run(_args("hits", mini_txt), spark)
     assert set(h.columns) == {"id", "hub", "auth"}
