@@ -1,0 +1,54 @@
+"""Streaming text-filter pipeline vs its batch twin on identical input."""
+
+from __future__ import annotations
+
+import time
+
+from linkgraph.streaming.jobs import run_available_now
+from linkgraph.streaming.textpipe import (
+    DOCS_SCHEMA,
+    stream_documents,
+    text_filter_pipeline,
+)
+
+DOCS = [
+    (1, "This line has five good words.\nshort.\nAnother fine sentence here now."
+        "\nAnd a third full sentence arrives."),
+    (2, "Lorem ipsum dolor sit amet filler.\nMore words follow here today."),
+    (3, "Broken { code } doc with sentences. One more. And another."),
+    (4, "Mail me at a.b@example.org right now please.\nSecond sentence is here"
+        " too.\nThird full sentence closes it out."),
+    (5, "no punctuation no sentences just words"),
+]
+
+
+def _rows(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    path = str(tmp_path / "docs_in")
+    # two slices with distinct mtimes -> two micro-batches
+    for chunk in (DOCS[:3], DOCS[3:]):
+        spark.createDataFrame(chunk, DOCS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        time.sleep(1.1)
+
+    batch = text_filter_pipeline(
+        spark.read.schema(DOCS_SCHEMA).parquet(path), min_words_per_line=4
+    )
+    streamed = text_filter_pipeline(
+        stream_documents(spark, path), min_words_per_line=4
+    )
+    run_available_now(
+        streamed, "textpipe_sink", str(tmp_path / "ck"), output_mode="append"
+    )
+    got = _rows(spark.table("textpipe_sink"))
+    want = _rows(batch)
+    assert got == want
+    # doc 2 (lorem) and doc 3 (brace) and doc 5 (no sentences) are dropped
+    assert set(got) == {1, 4}
+    # PII was redacted in the cleaned text
+    assert "<EMAIL>" in got[4]["text_redacted"]
+    assert got[4]["n_emails"] == 1
