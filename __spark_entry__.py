@@ -53,7 +53,7 @@ from linkgraph.graph.truss import k_truss_components
 from linkgraph.graph.truss import k_truss, max_truss
 from linkgraph.graph.hits import hits
 from linkgraph.graph.linkpred import link_prediction
-from linkgraph.graph.betweenness import betweenness_centrality
+from linkgraph.graph.betweenness import betweenness_centrality, edge_betweenness
 from linkgraph.graph.bfs import bfs_distances, closeness_centrality, eccentricity
 from linkgraph.graph.modularity import community_stats
 from linkgraph.graph.squares import square_count
@@ -153,6 +153,58 @@ chk AS (SELECT CASE WHEN
           <> (SELECT count(*) FROM peel WHERE it = {_PEEL_MAXIT - 1})
         THEN error('truss oracle: peel not at fixpoint within maxit rounds')
         ELSE 1 END AS ok)
+"""
+
+# Brandes replay on the truss graph, shared by the betweenness and
+# edge_betweenness oracles: BFS distances (recursive min over walks),
+# forward sigma (level-synchronous path counts restricted to the
+# shortest-path DAG), backward delta (deepest level first; the
+# recursive working table holds exactly the previous level's rows).
+# Ends with `b` (bidirected edges), `dist`, `sig`, and `dl` available.
+_BRANDES_CTE = f"""{_E_TRUSS},
+b AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+v AS (SELECT DISTINCT src AS id FROM b),
+roots AS (SELECT id FROM v ORDER BY id LIMIT 4),
+r(root, id, d) AS (
+  SELECT id, id, 0 FROM roots
+  UNION
+  SELECT r.root, b.dst, r.d + 1 FROM r JOIN b ON r.id = b.src WHERE r.d < 15),
+dist AS (SELECT root, id, min(d) AS dist FROM r GROUP BY root, id),
+sg(d, root, id, sigma) AS (
+  SELECT 0, id, id, CAST(1.0 AS DOUBLE) FROM roots
+  UNION ALL
+  SELECT sg.d + 1, sg.root, b.dst, sum(sg.sigma)
+  FROM sg JOIN b ON b.src = sg.id
+  JOIN dist ON dist.root = sg.root AND dist.id = b.dst
+           AND dist.dist = sg.d + 1
+  WHERE sg.d < 15
+  GROUP BY sg.d, sg.root, b.dst),
+sig AS (SELECT root, id, sigma FROM sg),
+lmax AS (SELECT max(dist) AS L FROM dist),
+dl(lvl, root, id, delta) AS (
+  SELECT dist.dist, dist.root, dist.id, CAST(0.0 AS DOUBLE)
+  FROM dist, lmax WHERE dist.dist = lmax.L
+  UNION ALL
+  SELECT * FROM (
+    WITH prev AS (SELECT lvl, root, id, delta FROM dl),
+    curlvl AS (SELECT (SELECT min(lvl) FROM prev) - 1 AS L),
+    cur AS (SELECT dist.root, dist.id FROM dist, curlvl
+            WHERE dist.dist = curlvl.L),
+    contrib AS (
+      SELECT cur.root, cur.id,
+             sum(su.sigma / sw.sigma * (1 + prev.delta)) AS dd
+      FROM cur
+      JOIN sig su ON su.root = cur.root AND su.id = cur.id
+      JOIN b ON b.src = cur.id
+      JOIN prev ON prev.root = cur.root AND prev.id = b.dst
+      JOIN sig sw ON sw.root = cur.root AND sw.id = b.dst
+      GROUP BY cur.root, cur.id)
+    SELECT (SELECT L FROM curlvl), cur.root, cur.id,
+           coalesce(contrib.dd, 0.0)
+    FROM cur LEFT JOIN contrib
+      ON contrib.root = cur.root AND contrib.id = cur.id
+  ) t
+  WHERE (SELECT min(lvl) FROM dl) > 0)
 """
 
 # Directed co-purchase digraph -> SCC labels by definition (transitive
@@ -568,6 +620,18 @@ def _q_scc(spark, sf):
     return res.labels
 
 
+def _q_edge_betweenness(spark, sf):
+    edges = datasets.co_purchase_edges(spark, sf, min_quantity=40)
+    roots = [
+        r["id"]
+        for r in E.degrees(edges).select("id").orderBy("id").limit(4).collect()
+    ]
+    out = edge_betweenness(edges, roots, max_depth=15)
+    return out.select(
+        "src", "dst", F.round("betweenness", 6).alias("betweenness")
+    )
+
+
 def _q_mis(spark, sf):
     # Luby MIS on the sparse graph; fully deterministic via the
     # portable (priority, id) rule, so the oracle replays the rounds.
@@ -832,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_labels": _q_scc,
         "topo_layers": _q_topo_layers,
         "betweenness": _q_betweenness,
+        "edge_betweenness": _q_edge_betweenness,
         "mis_members": _q_mis,
         "graph_coloring": _q_coloring,
         "katz_centrality": _q_katz,
@@ -1510,52 +1575,26 @@ WHERE color IS NOT NULL AND it = (SELECT max(it) FROM jp)
         # both engines' doubles are exact; delta differs only by
         # summation order (~1e-15), far under the 6-decimal rounding.
         "betweenness": f"""
-WITH RECURSIVE {_E_TRUSS},
-b AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
-v AS (SELECT DISTINCT src AS id FROM b),
-roots AS (SELECT id FROM v ORDER BY id LIMIT 4),
-r(root, id, d) AS (
-  SELECT id, id, 0 FROM roots
-  UNION
-  SELECT r.root, b.dst, r.d + 1 FROM r JOIN b ON r.id = b.src WHERE r.d < 15),
-dist AS (SELECT root, id, min(d) AS dist FROM r GROUP BY root, id),
-sg(d, root, id, sigma) AS (
-  SELECT 0, id, id, CAST(1.0 AS DOUBLE) FROM roots
-  UNION ALL
-  SELECT sg.d + 1, sg.root, b.dst, sum(sg.sigma)
-  FROM sg JOIN b ON b.src = sg.id
-  JOIN dist ON dist.root = sg.root AND dist.id = b.dst
-           AND dist.dist = sg.d + 1
-  WHERE sg.d < 15
-  GROUP BY sg.d, sg.root, b.dst),
-sig AS (SELECT root, id, sigma FROM sg),
-lmax AS (SELECT max(dist) AS L FROM dist),
-dl(lvl, root, id, delta) AS (
-  SELECT dist.dist, dist.root, dist.id, CAST(0.0 AS DOUBLE)
-  FROM dist, lmax WHERE dist.dist = lmax.L
-  UNION ALL
-  SELECT * FROM (
-    WITH prev AS (SELECT lvl, root, id, delta FROM dl),
-    curlvl AS (SELECT (SELECT min(lvl) FROM prev) - 1 AS L),
-    cur AS (SELECT dist.root, dist.id FROM dist, curlvl
-            WHERE dist.dist = curlvl.L),
-    contrib AS (
-      SELECT cur.root, cur.id,
-             sum(su.sigma / sw.sigma * (1 + prev.delta)) AS dd
-      FROM cur
-      JOIN sig su ON su.root = cur.root AND su.id = cur.id
-      JOIN b ON b.src = cur.id
-      JOIN prev ON prev.root = cur.root AND prev.id = b.dst
-      JOIN sig sw ON sw.root = cur.root AND sw.id = b.dst
-      GROUP BY cur.root, cur.id)
-    SELECT (SELECT L FROM curlvl), cur.root, cur.id,
-           coalesce(contrib.dd, 0.0)
-    FROM cur LEFT JOIN contrib
-      ON contrib.root = cur.root AND contrib.id = cur.id
-  ) t
-  WHERE (SELECT min(lvl) FROM dl) > 0)
+WITH RECURSIVE {_BRANDES_CTE}
 SELECT id, round(sum(delta), 6) AS betweenness
 FROM dl WHERE id != root GROUP BY id
+""",
+        # Edge dependencies (Girvan–Newman): one more join over the
+        # computed dist/sig/dl state — dep(u,w) = sigma_u/sigma_w *
+        # (1 + delta_w) per shortest-path-DAG edge, summed over roots.
+        "edge_betweenness": f"""
+WITH RECURSIVE {_BRANDES_CTE},
+te AS (SELECT least(d1.id, d2.id) AS src, greatest(d1.id, d2.id) AS dst,
+              s1.sigma / s2.sigma * (1 + dw.delta) AS dep
+       FROM dist d1
+       JOIN b ON b.src = d1.id
+       JOIN dist d2 ON d2.root = d1.root AND d2.id = b.dst
+                   AND d2.dist = d1.dist + 1
+       JOIN sig s1 ON s1.root = d1.root AND s1.id = d1.id
+       JOIN sig s2 ON s2.root = d1.root AND s2.id = d2.id
+       JOIN dl dw ON dw.root = d1.root AND dw.id = d2.id)
+SELECT src, dst, round(sum(dep), 6) AS betweenness
+FROM te GROUP BY src, dst
 """,
         # Longest-path layering of the SCC condensation: enumerate all
         # source-anchored walk lengths over the condensed DAG (UNION

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from collections import deque
 
-from linkgraph.graph.betweenness import betweenness_centrality
+from linkgraph.graph.betweenness import betweenness_centrality, edge_betweenness
 from tests.conftest import SMALL_TWITTER, edge_df, gnp_graph, path_graph
 
 
@@ -78,6 +78,69 @@ def test_gnp_all_sources_exact(spark):
     got = collect(betweenness_centrality(df, verts))
     want = brute_brandes(pairs, verts)
     assert_close(got, want, verts)
+
+
+def brute_edge_brandes(pairs, sources):
+    adj: dict[int, list[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    eb: dict[tuple[int, int], float] = {}
+    for s in sources:
+        if s not in adj:
+            continue
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        order = []
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            order.append(u)
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    sigma[w] = 0.0
+                    q.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+        delta = {v: 0.0 for v in order}
+        for w in reversed(order):
+            for u in adj[w]:
+                if dist.get(u, -2) == dist[w] - 1:
+                    d = sigma[u] / sigma[w] * (1 + delta[w])
+                    delta[u] += d
+                    k = (min(u, w), max(u, w))
+                    eb[k] = eb.get(k, 0.0) + d
+    return eb
+
+
+def test_edge_betweenness_matches_brute(spark):
+    df = gnp_graph(spark, n=40, p=0.12, seed=9)
+    pairs = [(r["src"], r["dst"]) for r in df.collect()]
+    sources = sorted({x for p in pairs for x in p})[:6]
+    got = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness(df, sources).collect()
+    }
+    want = brute_edge_brandes(pairs, sources)
+    assert got.keys() == want.keys()
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9, (k, got[k], v)
+
+
+def test_edge_betweenness_bridge_dominates(spark):
+    # two triangles joined by one bridge: the bridge carries all
+    # cross-cluster dependency mass
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4)]
+    sources = [1, 2, 3, 4, 5, 6]
+    got = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness(edge_df(spark, pairs), sources).collect()
+    }
+    assert max(got, key=got.get) == (3, 4)
+    want = brute_edge_brandes(pairs, sources)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9
 
 
 def test_star_center_carries_everything(spark):
