@@ -72,6 +72,7 @@ from linkgraph.text.analysis import language_id, quality_features, token_stats
 from linkgraph.text.c4 import c4_filters
 from linkgraph.text.lm import unigram_lm_scores
 from linkgraph.text.pii import pii_features, redact_pii
+from linkgraph.text.pmi import pmi_pairs
 from linkgraph.text.stats import corpus_stats, term_frequencies
 from linkgraph.text.tfidf import tfidf_top_terms
 from linkgraph.text.decontam import ngram_contamination
@@ -752,6 +753,18 @@ def _q_bfs(spark, sf):
     )
 
 
+def _q_pmi(spark, sf):
+    d = datasets.load(spark, sf, "documents").select("doc_id", "text")
+    out = pmi_pairs(d, min_pairs=2)
+    return out.select(
+        "term_a",
+        "term_b",
+        "n_pairs",
+        F.round("pmi", 6).alias("pmi"),
+        F.round("npmi", 6).alias("npmi"),
+    )
+
+
 def _q_term_frequencies(spark, sf):
     d = datasets.load(spark, sf, "documents").select("doc_id", "text")
     return term_frequencies(d, top_n=20)
@@ -923,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ego_edges": _q_ego,
         "simhash_pairs": _q_simhash,
         "ngram_jaccard": _q_ngram,
+        "pmi_pairs": _q_pmi,
         "term_frequencies": _q_term_frequencies,
         "corpus_stats": _q_corpus_stats,
         "unigram_lm": _q_unigram_lm,
@@ -1947,6 +1961,28 @@ w(wid, step, cur) AS (
   FROM w JOIN adj ON adj.id = w.cur WHERE w.step < 8)
 SELECT CAST(wid AS BIGINT) AS walk_id, CAST(step AS BIGINT) AS step,
        CAST(cur AS BIGINT) AS vertex FROM w
+""",
+        # Document-level PMI/NPMI; n_pairs == n_docs pins npmi to 1.0
+        # exactly on both sides (0/0 guard).
+        "pmi_pairs": r"""
+WITH dw AS (SELECT DISTINCT doc, term FROM (
+              SELECT doc_id AS doc,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+              FROM documents WHERE length(trim(text)) > 0)),
+n AS (SELECT count(DISTINCT doc) AS n_docs FROM dw),
+cw AS (SELECT term, count(*) AS df FROM dw GROUP BY term),
+p AS (SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_pairs
+      FROM dw a JOIN dw b ON a.doc = b.doc AND a.term < b.term
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+j AS (SELECT p.*, ca.df AS df_a, cb.df AS df_b, n.n_docs
+      FROM p JOIN cw ca ON ca.term = p.term_a
+             JOIN cw cb ON cb.term = p.term_b CROSS JOIN n)
+SELECT term_a, term_b, n_pairs,
+       round(ln(CAST(n_pairs AS DOUBLE) * n_docs / (df_a * df_b)), 6) AS pmi,
+       round(CASE WHEN n_pairs = n_docs THEN 1.0
+             ELSE ln(CAST(n_pairs AS DOUBLE) * n_docs / (df_a * df_b))
+                  / -ln(CAST(n_pairs AS DOUBLE) / n_docs) END, 6) AS npmi
+FROM j
 """,
         "term_frequencies": r"""
 WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
