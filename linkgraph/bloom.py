@@ -1,0 +1,202 @@
+"""JVM-built / NumPy-probed Bloom filter for pre-filtering explosive
+streams before their exchange.
+
+Motivation (triangle close join past the broadcast limit,
+`graph/triangles.py`): the wedge stream is O(sum deg_out^2) rows but
+only triangles + false positives survive the close join against the
+oriented edge set. When the edge set no longer broadcasts, the whole
+wedge stream crosses the exchange just to be dropped — a Bloom filter
+of the closing keys probed INSIDE the wedge kernel removes ~(1 - fpp)
+of non-triangle wedges before a single byte is shuffled. Exactness is
+untouched: the real join still runs and removes the false positives.
+
+Build is the JVM's own `Dataset.stat.bloomFilter` — a distributed
+treeAggregate over org.apache.spark.util.sketch.BloomFilterImpl, the
+same machinery Spark's runtime row-level filtering uses — so the build
+pass is JVM-side and cluster-scalable. The resulting bit array is
+pulled to the driver once (sized by fpp: ~1.2 GB at 1e9 keys / 1% fpp,
+~12 MB at 10M keys) and rebroadcast to executors as a NumPy array.
+
+The probe runs inside vectorized Arrow kernels, so it must replicate
+two public hash algorithms bit-for-bit in NumPy:
+
+- ``xxhash64_longs``: Catalyst's `xxhash64(col1, col2, ...)` over
+  BIGINT columns (XXH64 8-byte block path, seed chaining per column) —
+  the build keys the filter on `F.xxhash64(cols)`, the probe recomputes
+  it executor-side.
+- ``murmur3_hash_long``: sketch-package `Murmur3_x86_32.hashLong`,
+  which `BloomFilterImpl.mightContainLong` uses to derive the k probe
+  positions (h1 + i*h2 double hashing over int32 wraparound).
+
+Both are verified against the JVM in tests/test_bloom.py.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_P1 = np.uint64(0x9E3779B185EBCA87)
+_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_P3 = np.uint64(0x165667B19E3779F9)
+_P4 = np.uint64(0x85EBCA77C2B2AE63)
+_P5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _rotl64(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def _fmix64(h: np.ndarray) -> np.ndarray:
+    h ^= h >> np.uint64(33)
+    h *= _P2
+    h ^= h >> np.uint64(29)
+    h *= _P3
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def _xxh64_long(value: np.ndarray, seed: np.ndarray) -> np.ndarray:
+    """XXH64 of one 8-byte block (Spark XXH64.hashLong)."""
+    h = seed + _P5 + np.uint64(8)
+    h ^= _rotl64(value * _P2, 31) * _P1
+    h = _rotl64(h, 27) * _P1 + _P4
+    return _fmix64(h)
+
+
+def xxhash64_longs(columns: list[np.ndarray], seed: int = 42) -> np.ndarray:
+    """Catalyst `xxhash64(c1, c2, ...)` over BIGINT columns, vectorized.
+
+    Column i's hash becomes column i+1's seed (HashExpression fold).
+    Returns uint64 (reinterpret as int64 for the JVM's signed view).
+    """
+    with np.errstate(over="ignore"):
+        h = np.full(len(columns[0]), np.uint64(seed), dtype=np.uint64)
+        for col in columns:
+            h = _xxh64_long(col.astype(np.int64).view(np.uint64), h)
+    return h
+
+
+_C1 = np.int32(np.uint32(0xCC9E2D51).astype(np.int32))
+_C2 = np.int32(0x1B873593)
+
+
+def _rotl32(x: np.ndarray, r: int) -> np.ndarray:
+    ux = x.view(np.uint32)
+    return ((ux << np.uint32(r)) | (ux >> np.uint32(32 - r))).view(np.int32)
+
+
+def murmur3_hash_long(value: np.ndarray, seed: np.ndarray | int) -> np.ndarray:
+    """sketch Murmur3_x86_32.hashLong (two 4-byte mix rounds), int32."""
+    with np.errstate(over="ignore"):
+        v = value.astype(np.int64).view(np.uint64)
+        low = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+        high = (v >> np.uint64(32)).astype(np.uint32).view(np.int32)
+        h1 = (
+            np.full(len(v), seed, dtype=np.int32)
+            if isinstance(seed, int)
+            else seed.astype(np.int32)
+        )
+        for part in (low, high):
+            k1 = _rotl32(part * _C1, 15) * _C2
+            h1 = _rotl32(h1 ^ k1, 13)
+            h1 = h1 * np.int32(5) + np.int32(np.uint32(0xE6546B64).astype(np.int32))
+        # fmix(h1, 8)
+        h1 ^= np.int32(8)
+        uh = h1.view(np.uint32)
+        uh ^= uh >> np.uint32(16)
+        uh *= np.uint32(0x85EBCA6B)
+        uh ^= uh >> np.uint32(13)
+        uh *= np.uint32(0xC2B2AE35)
+        uh ^= uh >> np.uint32(16)
+    return uh.view(np.int32)
+
+
+@dataclass
+class BloomSketch:
+    """Parsed BloomFilterImpl / BloomFilterImplV2 state, NumPy-probe-able."""
+
+    words: np.ndarray  # uint64[numWords], the BitArray
+    num_hashes: int
+    version: int = 2
+    seed: int = 0
+
+    @property
+    def bit_size(self) -> int:
+        return len(self.words) * 64
+
+    def _bit(self, pos: np.ndarray) -> np.ndarray:
+        word = self.words[pos >> np.int64(6)]
+        return (word >> (pos.astype(np.uint64) & np.uint64(63))) & np.uint64(1)
+
+    def might_contain_longs(self, items: np.ndarray) -> np.ndarray:
+        """mightContainLong, vectorized; items int64/uint64 view of the key.
+
+        Both versions derive (hi, lo) = (murmur3(item, seed),
+        murmur3(item, hi)); V1 combines in int32 (h1 + i*h2 with Java
+        int wraparound), V2 in int64 (acc = hi*2147483647; acc += lo
+        per round) — both flip negatives with ~ and mod bitSize.
+        """
+        hi = murmur3_hash_long(items, self.seed)
+        lo = murmur3_hash_long(items, hi)
+        bit_size = np.int64(self.bit_size)
+        mask = np.ones(len(items), dtype=bool)
+        with np.errstate(over="ignore"):
+            if self.version == 1:
+                for i in range(1, self.num_hashes + 1):
+                    combined = hi + np.int32(i) * lo  # int32 wraparound
+                    combined = np.where(combined < 0, ~combined, combined)
+                    mask &= self._bit(combined.astype(np.int64) % bit_size).astype(bool)
+            else:
+                acc = hi.astype(np.int64) * np.int64(2147483647)
+                lo64 = lo.astype(np.int64)
+                for _ in range(self.num_hashes):
+                    acc = acc + lo64
+                    v = np.where(acc < 0, ~acc, acc)
+                    mask &= self._bit(v % bit_size).astype(bool)
+        return mask
+
+
+def parse_bloom_bytes(payload: bytes) -> BloomSketch:
+    """Parse BloomFilter.writeTo output.
+
+    V1 (Spark <= 3.x): int32 version, int32 k, int32 numWords, words.
+    V2 (Spark 4.x):    int32 version, int32 k, int32 seed, int32
+                       numWords, words.
+    """
+    version, k = struct.unpack(">ii", payload[:8])
+    if version == 1:
+        seed, off = 0, 12
+        (n_words,) = struct.unpack(">i", payload[8:12])
+    elif version == 2:
+        seed, n_words = struct.unpack(">ii", payload[8:16])
+        off = 16
+    else:
+        raise ValueError(f"unsupported bloom serialization version {version}")
+    words = (
+        np.frombuffer(payload[off : off + 8 * n_words], dtype=">i8")
+        .astype(np.int64)
+        .view(np.uint64)
+    )
+    return BloomSketch(words=words, num_hashes=k, version=version, seed=seed)
+
+
+def build_long_bloom(
+    df: DataFrame, cols: list[str], expected_items: int, fpp: float = 0.01
+) -> BloomSketch:
+    """Distributed JVM build of a Bloom filter over xxhash64(cols).
+
+    One JVM-side pass (treeAggregate inside Dataset.stat.bloomFilter);
+    only the finished bit array crosses to Python. Probe executor-side
+    with ``sketch.might_contain_longs(xxhash64_longs([a, b]))``.
+    """
+    keyed = df.select(F.xxhash64(*[F.col(c) for c in cols]).alias("__bloom_key"))
+    jbf = keyed._jdf.stat().bloomFilter("__bloom_key", int(expected_items), float(fpp))
+    jvm = df.sparkSession._jvm
+    bos = jvm.java.io.ByteArrayOutputStream()
+    jbf.writeTo(bos)
+    return parse_bloom_bytes(bytes(bos.toByteArray()))

@@ -40,6 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from linkgraph import bloom as B
 from linkgraph.graph import edges as E
 
 _WEDGE_SCHEMA = "a long, b long, c long"
@@ -76,6 +77,53 @@ def _oriented(edges: DataFrame) -> DataFrame:
 
 
 _BROADCAST_EDGE_LIMIT = 20_000_000  # rows; 2 longs/row ~ 320MB serialized
+
+# Past the broadcast limit the full O(sum deg_out^2) wedge stream would
+# cross the close-join exchange just for ~(1 - T/W) of it to be dropped
+# by the join. A Bloom filter of the closing keys (JVM treeAggregate
+# build, NumPy probe INSIDE the wedge kernel / a pipelined Arrow stage
+# BEFORE the exchange) cuts the exchanged rows to T + fpp*W; the exact
+# join then removes the false positives, so results are unchanged. At
+# 0.01 fpp the bit array is ~1.2 bytes/edge (44 MB at 37M edges) —
+# broadcast once per job. Exchange volume is the non-scaling term on a
+# multi-executor close (it crosses JVM/network boundaries), so this is
+# the lever that moves N -> 4N scaling efficiency at >= broadcast-limit
+# sizes.
+_BLOOM_FPP = 0.01
+
+
+def _close_bloom_broadcast(oriented: DataFrame, n_edges: int, fpp: float):
+    """Build the closing-key Bloom filter and broadcast its state."""
+    sk = B.build_long_bloom(oriented, ["lo", "hi"], n_edges, fpp)
+    return oriented.sparkSession.sparkContext.broadcast(
+        (sk.words, sk.num_hashes, sk.version, sk.seed)
+    )
+
+
+def _bloom_mask(bc_value, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    words, k, version, seed = bc_value
+    sk = B.BloomSketch(words=words, num_hashes=k, version=version, seed=seed)
+    return sk.might_contain_longs(B.xxhash64_longs([b, c]))
+
+
+def _bloom_probe(bloom_bc):
+    """mapInArrow stage: drop wedge rows whose (b, c) cannot close.
+
+    Runs pipelined in the wedge-producing stage, i.e. BEFORE the close
+    join's exchange — the whole point is that dropped rows never
+    serialize into shuffle files.
+    """
+
+    def probe(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            b = batch.column("b").to_numpy(zero_copy_only=False)
+            c = batch.column("c").to_numpy(zero_copy_only=False)
+            mask = _bloom_mask(bloom_bc.value, b, c)
+            yield batch if mask.all() else batch.filter(pa.array(mask))
+
+    return probe
 
 # Max oriented-edge rows per shuffle partition for which the wedge
 # self-join may force a (non-spillable) shuffled hash build; ~32B/row
@@ -254,7 +302,7 @@ def _run_pairs(lo: np.ndarray, hi: np.ndarray) -> pd.DataFrame:
     return pd.DataFrame({"a": lo[base], "b": hi[base + i], "c": hi[base + j]})
 
 
-def _csr_batch_iter(batches) -> Iterator:
+def _csr_batch_iter(batches, bloom_value=None) -> Iterator:
     """mapInArrow kernel: wedge generation over CSR-packed partitions.
 
     The input partition is hash-distributed by anchor vertex and sorted
@@ -274,11 +322,19 @@ def _csr_batch_iter(batches) -> Iterator:
         return batch.column(name).to_numpy(zero_copy_only=False)
 
     def out(df: pd.DataFrame) -> "pa.RecordBatch":
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        c = df["c"].to_numpy(np.int64)
+        if bloom_value is not None and a.size:
+            # Fused close-key pre-filter: non-closing wedges die here,
+            # inside the kernel, before even the Arrow hand-back.
+            mask = _bloom_mask(bloom_value, b, c)
+            a, b, c = a[mask], b[mask], c[mask]
         return pa.RecordBatch.from_arrays(
             [
-                pa.array(df["a"].to_numpy(np.int64), type=pa.int64()),
-                pa.array(df["b"].to_numpy(np.int64), type=pa.int64()),
-                pa.array(df["c"].to_numpy(np.int64), type=pa.int64()),
+                pa.array(a, type=pa.int64()),
+                pa.array(b, type=pa.int64()),
+                pa.array(c, type=pa.int64()),
             ],
             names=["a", "b", "c"],
         )
@@ -301,23 +357,36 @@ def _csr_batch_iter(batches) -> Iterator:
         yield out(_run_pairs(carry_lo, carry_hi))
 
 
-def _wedges_csr(oriented: DataFrame) -> DataFrame:
+def _wedges_csr(oriented: DataFrame, bloom_bc=None) -> DataFrame:
     csr = (
         oriented.select("lo", "hi", "hi_deg")
         # explicit count: see _wedges_sql on AQE byte-based coalescing
         .repartition(_explode_parts(oriented), "lo")
         .sortWithinPartitions("lo", "hi_deg", "hi")
     )
-    return csr.mapInArrow(_csr_batch_iter, schema=_WEDGE_SCHEMA)
+    if bloom_bc is None:
+        return csr.mapInArrow(_csr_batch_iter, schema=_WEDGE_SCHEMA)
+
+    def kernel(batches):
+        return _csr_batch_iter(batches, bloom_value=bloom_bc.value)
+
+    return csr.mapInArrow(kernel, schema=_WEDGE_SCHEMA)
 
 
 _WEDGE_KERNELS = {"sql": _wedges_sql, "join": _wedges_join, "csr": _wedges_csr}
 
 
-def triangles(edges: DataFrame, strategy: str = "join") -> DataFrame:
+def triangles(
+    edges: DataFrame, strategy: str = "join", bloom_fpp: float | None = _BLOOM_FPP
+) -> DataFrame:
     """Enumerate all triangles of the canonical undirected edge table.
 
     Returns (a, b, c) with a < b < c, one row per triangle, exactly.
+
+    Past _BROADCAST_EDGE_LIMIT edges a Bloom filter of the closing keys
+    pre-filters the wedge stream before its exchange (see _BLOOM_FPP);
+    fused into the NumPy kernel for "csr", a pipelined Arrow stage for
+    "join"/"sql". ``bloom_fpp=None`` disables it (A/B harness).
     """
     # One materialization: both the wedge kernel and the close join read
     # the oriented table; without it the degree aggregation + two degree
@@ -325,10 +394,18 @@ def triangles(edges: DataFrame, strategy: str = "join") -> DataFrame:
     # drives the close-join broadcast decision.
     oriented = _oriented(edges).localCheckpoint(eager=True)
     n_edges = oriented.count()
-    if strategy == "join":
-        wedges = _wedges_join(oriented, n_edges)
+    bloom_bc = None
+    if bloom_fpp is not None and n_edges > _BROADCAST_EDGE_LIMIT:
+        bloom_bc = _close_bloom_broadcast(oriented, n_edges, bloom_fpp)
+    if strategy == "csr":
+        wedges = _wedges_csr(oriented, bloom_bc)
     else:
-        wedges = _WEDGE_KERNELS[strategy](oriented)
+        if strategy == "join":
+            wedges = _wedges_join(oriented, n_edges)
+        else:
+            wedges = _WEDGE_KERNELS[strategy](oriented)
+        if bloom_bc is not None:
+            wedges = wedges.mapInArrow(_bloom_probe(bloom_bc), _WEDGE_SCHEMA)
     return _close_wedges(wedges, oriented, n_edges)
 
 

@@ -1,0 +1,89 @@
+"""Bloom pre-filter: NumPy probe parity with the JVM sketch, and
+triangle parity with the bloom path forced on.
+
+The probe replicates two public hash algorithms bit-for-bit
+(Catalyst xxhash64 over longs; sketch Murmur3_x86_32.hashLong) — the
+parity tests here are the contract that keeps the NumPy side honest
+against the JVM build side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import linkgraph.graph.triangles as tri_mod
+from linkgraph.bloom import build_long_bloom, parse_bloom_bytes, xxhash64_longs
+from tests.conftest import TRUSS_MINI, edge_df
+
+from linkgraph.graph.edges import canonicalize
+
+
+@pytest.fixture(scope="module")
+def pairs(spark):
+    rng = np.random.default_rng(11)
+    a = rng.integers(-(2**62), 2**62, 2000, dtype=np.int64)
+    b = rng.integers(-(2**62), 2**62, 2000, dtype=np.int64)
+    df = spark.createDataFrame(
+        [(int(x), int(y)) for x, y in zip(a, b)], "a long, b long"
+    )
+    return a, b, df
+
+
+def test_xxhash64_matches_jvm(pairs):
+    a, b, df = pairs
+    jvm = np.array(
+        [r[0] for r in df.select(F.xxhash64("a", "b")).collect()], dtype=np.int64
+    )
+    assert np.array_equal(jvm, xxhash64_longs([a, b]).view(np.int64))
+    jvm1 = np.array(
+        [r[0] for r in df.select(F.xxhash64("a")).collect()], dtype=np.int64
+    )
+    assert np.array_equal(jvm1, xxhash64_longs([a]).view(np.int64))
+
+
+def test_bloom_probe_matches_jvm(pairs):
+    a, b, df = pairs
+    sk = build_long_bloom(df, ["a", "b"], 2000, 0.01)
+    items = xxhash64_longs([a, b])
+    # no false negatives, ever
+    assert sk.might_contain_longs(items).all()
+    # bit-exact agreement with the JVM object on non-members
+    jbf = df.select(F.xxhash64("a", "b").alias("k"))._jdf.stat().bloomFilter(
+        "k", 2000, 0.01
+    )
+    rng = np.random.default_rng(12)
+    others = xxhash64_longs(
+        [
+            rng.integers(-(2**62), 2**62, 3000, dtype=np.int64),
+            rng.integers(-(2**62), 2**62, 3000, dtype=np.int64),
+        ]
+    )
+    py_mask = sk.might_contain_longs(others)
+    jvm_mask = np.array([jbf.mightContainLong(int(np.int64(x))) for x in others])
+    assert np.array_equal(py_mask, jvm_mask)
+    # fpp in the right ballpark (sized for 1%)
+    assert py_mask.mean() < 0.05
+
+
+def test_parse_rejects_unknown_version():
+    with pytest.raises(ValueError):
+        parse_bloom_bytes(b"\x00\x00\x00\x63" + b"\x00" * 12)
+
+
+def test_triangles_bloom_path_parity(spark, monkeypatch):
+    graph = canonicalize(edge_df(spark, TRUSS_MINI))
+    want = sorted(map(tuple, tri_mod.triangles(graph).collect()))
+    assert len(want) == 22
+    # Force the bloom gate open (limit 0) at a high fpp so false
+    # positives actually occur and must be removed by the close join.
+    monkeypatch.setattr(tri_mod, "_BROADCAST_EDGE_LIMIT", 0)
+    for strategy in ("join", "sql", "csr"):
+        got = sorted(
+            map(
+                tuple,
+                tri_mod.triangles(graph, strategy=strategy, bloom_fpp=0.3).collect(),
+            )
+        )
+        assert got == want, strategy
