@@ -35,7 +35,13 @@ from pyspark.sql import functions as F
 
 from linkgraph import datasets
 from linkgraph.dedup.embedding import brute_force_pairs, embedding_near_duplicates
-from linkgraph.events import event_type_funnel, sessionize, tumbling_window_counts
+from linkgraph.events import (
+    as_of_join,
+    event_type_funnel,
+    range_join,
+    sessionize,
+    tumbling_window_counts,
+)
 from linkgraph.dedup.exact import deduplicate_exact, exact_duplicate_groups
 from linkgraph.dedup.minhash import minhash_near_duplicates
 from linkgraph.dedup.cluster import near_duplicate_clusters
@@ -573,6 +579,36 @@ def _q_events_funnel(spark, sf):
     )
 
 
+def _q_events_asof(spark, sf):
+    # Backward as-of join: each purchase picks up the user's latest
+    # view at-or-before it. Epoch-micros longs + rounded doubles on
+    # both sides (the sessionize hash-canon lesson).
+    ev = datasets.load(spark, sf, "events")
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = as_of_join(buys, views, suffix="_view")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.col("event_id_view").alias("view_event_id"),
+        F.round("value_view", 6).alias("view_value"),
+    )
+
+
+def _q_events_range_join(spark, sf):
+    # Every click within 30 minutes after a view by the same user —
+    # bucketed equi-join, never an inequality BNL join.
+    return range_join(
+        datasets.load(spark, sf, "events"), "view", "click", max_gap_minutes=30
+    )
+
+
 def _q_pagerank_weighted(spark, sf):
     res = pagerank(
         datasets.sparse_weighted_edges(spark, sf),
@@ -950,6 +986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_counts": _q_events_windows,
         "events_sessionize": _q_events_sessions,
         "events_funnel": _q_events_funnel,
+        "events_asof": _q_events_asof,
+        "events_range_join": _q_events_range_join,
     }
 
 
@@ -1881,6 +1919,29 @@ s AS (SELECT user_id, ts,
 SELECT user_id, session_id, epoch_us(min(ts)) AS session_start_us,
        epoch_us(max(ts)) AS session_end_us, count(*) AS n_events
 FROM s GROUP BY user_id, session_id
+""",
+        "events_asof": """
+WITH v AS (
+  SELECT user_id, ts,
+         max_by(event_id, event_id) AS view_event_id,
+         round(max_by(value, event_id), 6) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+b AS (SELECT user_id, ts, event_id, value
+      FROM events WHERE event_type = 'purchase')
+SELECT b.user_id, epoch_us(b.ts) AS ts_us, b.event_id,
+       round(b.value, 6) AS value, v.view_event_id, v.view_value
+FROM b ASOF LEFT JOIN v ON b.user_id = v.user_id AND b.ts >= v.ts
+""",
+        "events_range_join": """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         epoch_us(ts) // 1000000 AS es
+  FROM events)
+SELECT l.user_id, l.event_id AS left_id, r.event_id AS right_id,
+       r.es - l.es AS gap_seconds
+FROM e l JOIN e r ON l.user_id = r.user_id
+WHERE l.event_type = 'view' AND r.event_type = 'click'
+  AND r.es - l.es BETWEEN 0 AND 1800
 """,
         "events_funnel": """
 WITH f AS (

@@ -68,6 +68,135 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_matched",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` per key (a backward as-of join).
+
+    Spark has no ASOF JOIN operator, so this is the scalable
+    composition: tag-union both sides, one window per key ordered by
+    (ts, side, right-tiebreak), carry the last non-null right payload
+    forward, keep the left rows. ONE shuffle on the key and one
+    sort-within-partition — the same plan shape as ``sessionize``;
+    per-key row counts are bounded by per-entity activity, and a
+    100 TB run hash-partitions the key with AQE splitting residual
+    skew. No inequality join (which Spark would execute as a
+    broadcast-nested-loop) ever appears in the plan.
+
+    Right rows that share (key, ts) are first collapsed to the one
+    with the greatest tiebreak column (``event_id`` when present) so
+    the match is deterministic and engine-portable.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (key, ts_col)]
+    tie = "event_id" if "event_id" in right.columns else right_cols[0]
+    # deterministic survivor per (key, ts): max tiebreak, struct-max
+    # carries the full payload without a window sort
+    r1 = (
+        right.groupBy(key, ts_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(tie),
+                    *[F.col(c) for c in right_cols if c != tie],
+                )
+            ).alias("_s")
+        )
+        .select(key, ts_col, *[F.col(f"_s.{c}").alias(c) for c in right_cols])
+    )
+    l_payload = [c for c in left.columns if c not in (key, ts_col)]
+    lhs = left.select(
+        key,
+        ts_col,
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in l_payload]).alias("_l"),
+        F.lit(None).cast(
+            r1.select(F.struct(*[F.col(c) for c in right_cols]).alias("x"))
+            .schema["x"].dataType.simpleString()
+        ).alias("_r"),
+    )
+    rhs = r1.select(
+        key,
+        ts_col,
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in l_payload]).alias("x"))
+            .schema["x"].dataType.simpleString()
+        ).alias("_l"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lhs.unionByName(rhs).withColumn(
+        "_match", F.last("_r", ignorenulls=True).over(w)
+    )
+    out = carried.where(F.col("_side") == 1).select(
+        key,
+        ts_col,
+        *[F.col(f"_l.{c}").alias(c) for c in l_payload],
+        *[F.col(f"_match.{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )
+    return out
+
+
+def range_join(
+    events: DataFrame,
+    left_type: str,
+    right_type: str,
+    max_gap_minutes: int = 30,
+    key: str = "user_id",
+) -> DataFrame:
+    """Pairs (left event, right event) per key with
+    ``0 <= right.ts - left.ts <= max_gap`` — a bounded-interval join
+    (e.g. every click within 30 minutes AFTER a view by the same user).
+
+    A naive ``l.ts <= r.ts <= l.ts + gap`` join is an inequality join,
+    which Spark plans as a broadcast-nested-loop — quadratic per key.
+    Instead the gap bounds the candidates to adjacent time buckets of
+    width ``gap``: the left side explodes to (bucket, bucket+1) and
+    joins the right side on the EXACT (key, bucket) pair — an
+    equi-join Catalyst hash-partitions — then the precise predicate
+    filters. Each right row is examined at most twice; output is
+    produced streaming out of the hash join, never materializing the
+    per-key cross product.
+    """
+    gap_s = max_gap_minutes * 60
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    lhs = (
+        events.where(F.col("event_type") == left_type)
+        .select(
+            F.col(key),
+            F.col("event_id").alias("left_id"),
+            epoch.alias("left_ts"),
+        )
+        .withColumn("_b", F.explode(F.array(
+            (F.col("left_ts") / gap_s).cast("long"),
+            (F.col("left_ts") / gap_s).cast("long") + 1,
+        )))
+    )
+    rhs = events.where(F.col("event_type") == right_type).select(
+        F.col(key),
+        F.col("event_id").alias("right_id"),
+        epoch.alias("right_ts"),
+        (epoch / gap_s).cast("long").alias("_b"),
+    )
+    gap_col = F.col("right_ts") - F.col("left_ts")
+    return (
+        lhs.join(rhs, [key, "_b"])
+        .where((gap_col >= 0) & (gap_col <= gap_s))
+        .select(key, "left_id", "right_id", gap_col.alias("gap_seconds"))
+    )
+
+
 def event_type_funnel(events: DataFrame, steps: list[str]) -> DataFrame:
     """(step, step_idx, n_users): users whose FIRST occurrences of the
     step event types appear in order — a conversion funnel.

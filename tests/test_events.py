@@ -61,6 +61,59 @@ def test_funnel_order(spark):
     assert out == {"view": 3, "cart": 2, "buy": 1}
 
 
+def test_as_of_join_backward(spark):
+    from linkgraph.events import as_of_join
+
+    views = ev(spark, [(0, 1, "view", 10), (20, 1, "view", 20), (5, 2, "view", 7)])
+    buys = ev(
+        spark,
+        [(10, 1, "buy", 1), (25, 1, "buy", 2), (0, 2, "buy", 3), (30, 3, "buy", 4)],
+    )
+    out = {
+        (r["user_id"], r["ts"].minute): r["value_matched"]
+        for r in as_of_join(buys, views).collect()
+    }
+    # buy@10 matches view@0; buy@25 matches view@20; user2 buy@0 has no
+    # prior view (view@5 is later) -> null; user3 has no views at all.
+    assert out == {(1, 10): 10.0, (1, 25): 20.0, (2, 0): None, (3, 30): None}
+
+
+def test_as_of_join_equal_ts_and_dup_right(spark):
+    from linkgraph.events import as_of_join
+
+    views = ev(spark, [(5, 1, "view", 10), (5, 1, "view", 99)])  # dup (key, ts)
+    buys = ev(spark, [(5, 1, "buy", 1)])
+    rows = as_of_join(buys, views).collect()
+    # inclusive <=; dup right rows collapse to the max-event_id survivor
+    assert rows[0]["value_matched"] == 99.0
+
+
+def test_range_join_matches_brute_force(spark):
+    import itertools
+    import random
+
+    from linkgraph.events import range_join
+
+    rng = random.Random(7)
+    rows = [
+        (rng.randrange(0, 300), rng.randrange(1, 6),
+         rng.choice(["view", "click"]), 0)
+        for _ in range(120)
+    ]
+    df = ev(spark, rows)
+    got = sorted(
+        (r["user_id"], r["left_id"], r["right_id"], r["gap_seconds"])
+        for r in range_join(df, "view", "click", max_gap_minutes=30).collect()
+    )
+    evs = [(i, m * 60, u, t) for i, (m, u, t, _v) in enumerate(rows)]
+    want = sorted(
+        (u1, i1, i2, t2 - t1)
+        for (i1, t1, u1, ty1), (i2, t2, u2, ty2) in itertools.product(evs, evs)
+        if ty1 == "view" and ty2 == "click" and u1 == u2 and 0 <= t2 - t1 <= 1800
+    )
+    assert got == want and len(want) > 0
+
+
 def test_streaming_agrees_with_batch(spark, tmp_path):
     from linkgraph.streaming import run_available_now, stream_events, streaming_window_counts
 
