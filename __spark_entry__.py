@@ -56,12 +56,12 @@ from linkgraph.graph.triangles import clustering_coefficient, edge_support, tria
 from linkgraph.graph.kcore import k_core
 from linkgraph.graph.triangles import transitivity
 from linkgraph.graph.truss import k_truss_components
-from linkgraph.graph.truss import k_truss, max_truss
+from linkgraph.graph.truss import k_truss, max_truss, truss_decomposition
 from linkgraph.graph.hits import hits
 from linkgraph.graph.linkpred import link_prediction
 from linkgraph.graph.betweenness import betweenness_centrality, edge_betweenness
 from linkgraph.graph.bfs import bfs_distances, closeness_centrality, eccentricity
-from linkgraph.graph.modularity import community_stats
+from linkgraph.graph.modularity import community_stats, contract_graph
 from linkgraph.graph.squares import square_count
 from linkgraph.graph.sssp import shortest_paths
 from linkgraph.graph.walks import walk_corpus
@@ -359,6 +359,22 @@ def _q_max_truss(spark, sf):
     return res.edges.sparkSession.createDataFrame(
         [(res.k, res.edges.count())], "k_max int, n_edges long"
     )
+
+
+def _q_contracted_graph(spark, sf):
+    # Contract the part co-purchase graph by the parts' brand — the
+    # coarsening building block, driven here by an external vertex
+    # attribute so the oracle is pure relational algebra.
+    labels = datasets.load(spark, sf, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_brand").alias("label")
+    )
+    return contract_graph(datasets.sparse_edges(spark, sf), labels)
+
+
+def _q_truss_decomposition(spark, sf):
+    # Per-edge truss numbers on the sparse graph (same input as
+    # max_truss, whose multi-k peel CTE the oracle reuses).
+    return truss_decomposition(datasets.sparse_edges(spark, sf)).trussness
 
 
 def _q_ktruss_components(spark, sf):
@@ -953,6 +969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted": _q_pagerank_weighted,
         "clustering_coefficient": _q_clustering,
         "max_truss": _q_max_truss,
+        "truss_decomposition": _q_truss_decomposition,
+        "contracted_graph": _q_contracted_graph,
         "dedup_exact": _q_dedup_exact,
         "dedup_groups": _q_dedup_groups,
         "token_stats": _q_token_stats,
@@ -1819,6 +1837,59 @@ WHERE k = (SELECT max(k) FROM fix)
   AND CASE WHEN k >= 12
            THEN error('max_truss oracle: k cap (12) is binding; raise range')
            ELSE TRUE END
+""",
+        "contracted_graph": f"""
+WITH {_E_SPARSE},
+lab AS (SELECT p_partkey AS id, p_brand AS label FROM part),
+t AS (SELECT coalesce(ls.label, CAST(e.src AS VARCHAR)) AS la,
+             coalesce(ld.label, CAST(e.dst AS VARCHAR)) AS lb
+      FROM e LEFT JOIN lab ls ON ls.id = e.src
+             LEFT JOIN lab ld ON ld.id = e.dst)
+SELECT least(la, lb) AS label_a, greatest(la, lb) AS label_b,
+       count(*) AS n_edges
+FROM t GROUP BY 1, 2
+""",
+        # Same multi-k parallel peel as max_truss; trussness(e) = max k
+        # whose fixpoint still contains e, default 2.
+        "truss_decomposition": f"""
+WITH RECURSIVE
+ps AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       WHERE l_quantity >= 48),
+e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+      FROM ps a JOIN ps b ON a.ok = b.ok AND a.pk < b.pk),
+ks AS (SELECT unnest(range(3, 13)) AS k),
+peel(it, k, src, dst) AS (
+  SELECT 0, ks.k, e.src, e.dst FROM e CROSS JOIN ks
+  UNION ALL
+  SELECT * FROM (
+    WITH cur AS (SELECT k, src, dst FROM peel),
+    tri AS (SELECT e1.k, e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM cur e1
+            JOIN cur e2 ON e1.k = e2.k AND e1.src = e2.src AND e1.dst < e2.dst
+            JOIN cur e3 ON e3.k = e1.k AND e3.src = e1.dst AND e3.dst = e2.dst),
+    sup AS (SELECT k, src, dst, count(*) AS s FROM (
+              SELECT k, a AS src, b AS dst FROM tri
+              UNION ALL SELECT k, a, c FROM tri
+              UNION ALL SELECT k, b, c FROM tri) GROUP BY k, src, dst)
+    SELECT (SELECT max(it) FROM peel) + 1, k, src, dst
+    FROM sup WHERE s >= k - 2
+  ) t
+  WHERE (SELECT max(it) FROM peel) < {_PEEL_MAXIT}
+),
+chk AS (SELECT CASE WHEN EXISTS (
+          SELECT 1 FROM
+            (SELECT k, count(*) FILTER (WHERE it = {_PEEL_MAXIT}) AS a,
+                    count(*) FILTER (WHERE it = {_PEEL_MAXIT - 1}) AS b
+             FROM peel GROUP BY k) WHERE a <> b)
+        THEN error('truss_decomposition oracle: peel not at fixpoint')
+        WHEN (SELECT coalesce(max(k), 2) FROM peel
+              WHERE it = {_PEEL_MAXIT}) >= 12
+        THEN error('truss_decomposition oracle: k cap (12) binding')
+        ELSE 1 END AS ok),
+tn AS (SELECT src, dst, max(k) AS t FROM peel, chk
+       WHERE it = {_PEEL_MAXIT} GROUP BY src, dst)
+SELECT e.src, e.dst, CAST(coalesce(tn.t, 2) AS INT) AS trussness
+FROM e LEFT JOIN tn ON tn.src = e.src AND tn.dst = e.dst
 """,
         "dedup_exact": (
             f"WITH {_DOCS2} SELECT min(doc_id) AS doc_id FROM d2 GROUP BY md5(text)"

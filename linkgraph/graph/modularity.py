@@ -96,3 +96,54 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     return community_stats(edges, labels).agg(
         F.sum("modularity_term").alias("modularity")
     )
+
+
+def contract_graph(
+    edges: DataFrame,
+    labels: DataFrame,
+    id_col: str = "id",
+    label_col: str = "label",
+    keep_self_loops: bool = True,
+) -> DataFrame:
+    """Contract a labeled graph to its supergraph: one vertex per
+    label, edge (label_a <= label_b) weighted by the number of original
+    edges between the two groups (self-loop rows = internal edges).
+
+    The Louvain/coarsening building block the reference lacks: after
+    any community pass (LPA, CC, truss components) — or with an
+    external vertex attribute as the label — the contracted graph
+    feeds the same operators again at a fraction of the size.
+
+    Plan: two hash joins edge<->labels (same shape and key as
+    `community_stats`; broadcast when labels is small, co-keyed
+    shuffle otherwise — Catalyst/AQE decide) and ONE map-side
+    combinable aggregate. Vertices missing from `labels` stay as
+    themselves (singleton groups), so the contraction is total.
+    """
+    ltype = labels.schema[label_col].dataType
+    ls = labels.select(
+        F.col(id_col).alias("src"), F.col(label_col).alias("_ls")
+    )
+    ld = labels.select(
+        F.col(id_col).alias("dst"), F.col(label_col).alias("_ld")
+    )
+    tagged = (
+        edges.select("src", "dst")
+        .join(ls, "src", "left")
+        .join(ld, "dst", "left")
+        .select(
+            F.coalesce("_ls", F.col("src").cast(ltype)).alias("_a"),
+            F.coalesce("_ld", F.col("dst").cast(ltype)).alias("_b"),
+        )
+    )
+    out = (
+        tagged.select(
+            F.least("_a", "_b").alias("label_a"),
+            F.greatest("_a", "_b").alias("label_b"),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    if not keep_self_loops:
+        out = out.where(F.col("label_a") != F.col("label_b"))
+    return out

@@ -189,6 +189,64 @@ def k_truss_components(
 
 
 @dataclass
+class TrussDecompositionResult:
+    trussness: DataFrame       # (src, dst, trussness) — every input edge
+    k_max: int                 # max trussness == max_truss().k
+    phases: list[dict] = field(default_factory=list)
+
+
+def truss_decomposition(
+    edges: DataFrame, max_k: int = 1000
+) -> TrussDecompositionResult:
+    """Per-edge truss number: trussness(e) = the largest k such that e
+    survives the k-truss peel (>= 2 for every edge; 2 means "in no
+    triangle that survives the 3-truss").
+
+    Ascending peel, the standard decomposition construction the
+    reference stops short of (it exposes only fixed-k calculateTrusses
+    and the max-k search, Truss.scala:115-166 / MaximalTruss.scala:19-63):
+    peel at k=3, 4, ... — each phase starts from the PREVIOUS phase's
+    fixpoint edges and triangle table (the probe-reuse invariant
+    ``TrussResult.tri``), so triangles are enumerated exactly once for
+    the whole decomposition and each phase's input shrinks
+    monotonically. Edges dropped during phase k get trussness k-1.
+    Number of phases = k_max - 2 (bounded by O(sqrt(E))); per-phase
+    cost is the same checkpointed peel k_truss runs.
+    """
+    spark = edges.sparkSession
+    cur = edges.select("src", "dst")
+    n_cur = cur.count()
+    parts: list[DataFrame] = []
+    tri: DataFrame | None = None
+    k_max = 2
+    phases: list[dict] = []
+    k = 3
+    while n_cur > 0 and k <= max_k:
+        ckpt = Checkpointer(spark, job=f"trussdec_k{k}")
+        res = k_truss(cur, k, ckpt, tri=tri)
+        n_dead = n_cur - res.n_edges
+        if n_dead > 0:
+            dead = cur.join(res.edges, ["src", "dst"], "left_anti").select(
+                "src", "dst", F.lit(k - 1).cast("int").alias("trussness")
+            )
+            # eager cut: `cur` is replaced next phase; the union at the
+            # end must not re-run earlier phases' lineage
+            parts.append(dead.localCheckpoint(eager=True))
+        phases.append({"k": k, "alive": res.n_edges, "rounds": res.rounds})
+        if res.n_edges > 0:
+            k_max = k
+        cur, tri, n_cur = res.edges, res.tri, res.n_edges
+        k += 1
+    if not parts:
+        out = spark.createDataFrame([], "src long, dst long, trussness int")
+    else:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+    return TrussDecompositionResult(trussness=out, k_max=k_max, phases=phases)
+
+
+@dataclass
 class MaxTrussResult:
     k: int                    # maximum k with a non-empty k-truss
     edges: DataFrame          # the k_max-truss edges

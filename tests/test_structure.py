@@ -176,3 +176,64 @@ def test_eccentricity_isolated_root(spark):
     }
     assert got[1] == (2, 2)
     assert got[99] == (0, 0)
+
+
+def test_contract_graph_by_labels(spark):
+    from linkgraph.graph.modularity import contract_graph
+
+    # two triangles {1,2,3} {4,5,6} + one bridge (3,4)
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "src long, dst long",
+    )
+    lab = spark.createDataFrame(
+        [(i, 1) for i in (1, 2, 3)] + [(i, 4) for i in (4, 5, 6)],
+        "id long, label long",
+    )
+    got = {
+        (r["label_a"], r["label_b"]): r["n_edges"]
+        for r in contract_graph(e, lab).collect()
+    }
+    assert got == {(1, 1): 3, (4, 4): 3, (1, 4): 1}
+    no_loops = contract_graph(e, lab, keep_self_loops=False)
+    assert {(r["label_a"], r["label_b"]) for r in no_loops.collect()} == {(1, 4)}
+
+
+def test_contract_graph_missing_labels_are_singletons(spark):
+    from linkgraph.graph.modularity import contract_graph
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    lab = spark.createDataFrame([(1, 9), (2, 9)], "id long, label long")
+    got = {
+        (r["label_a"], r["label_b"]): r["n_edges"]
+        for r in contract_graph(e, lab).collect()
+    }
+    assert got == {(9, 9): 1, (3, 9): 1}
+
+
+def test_contract_graph_string_labels(spark):
+    from linkgraph.graph.modularity import contract_graph
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    lab = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id long, label string"
+    )
+    got = {
+        (r["label_a"], r["label_b"]): r["n_edges"]
+        for r in contract_graph(e, lab).collect()
+    }
+    assert got == {("a", "a"): 1, ("a", "b"): 1}
+
+
+def test_contract_graph_closes_lpa_coarsening(spark):
+    """Contraction composes with the engine's own community pass."""
+    from linkgraph.graph.labelprop import label_propagation
+    from linkgraph.graph.modularity import contract_graph
+    from tests.conftest import ring_of_cliques
+
+    g = ring_of_cliques(spark, 4, 5)
+    labels = label_propagation(g, max_iter=10).labels
+    sup = contract_graph(g, labels, keep_self_loops=False)
+    # the coarse graph is a small connected graph over <= 4 supernodes
+    n_super = labels.select("label").distinct().count()
+    assert 1 <= sup.count() <= n_super * (n_super - 1) // 2

@@ -125,3 +125,32 @@ def test_max_truss_reuses_probe_triangles(spark, truss_mini, monkeypatch):
     assert res.k == 4
     assert len(calls) == 1  # wedges enumerated exactly once per search
     assert [p["reused_triangles"] for p in res.probes].count(False) <= 1
+
+
+def test_truss_decomposition_truss_mini(truss_mini):
+    from linkgraph.graph.truss import truss_decomposition
+
+    res = truss_decomposition(truss_mini)
+    rows = {(r["src"], r["dst"]): r["trussness"] for r in res.trussness.collect()}
+    # every input edge labeled exactly once
+    assert len(rows) == 27 and res.trussness.count() == 27
+    assert res.k_max == 4
+    # trussness >= 4 is exactly the golden 4-truss
+    assert {e for e, t in rows.items() if t >= 4} == TRUSS_MINI_4TRUSS
+    # 3-truss keeps all 27 edges, so nothing has trussness 2
+    assert all(t >= 3 for t in rows.values())
+
+
+def test_truss_decomposition_matches_per_k_truss(spark):
+    from tests.conftest import gnp_graph
+    from linkgraph.graph.truss import truss_decomposition
+
+    g = canonicalize(gnp_graph(spark, n=60, p=0.15, seed=3)).cache()
+    res = truss_decomposition(g)
+    rows = {(r["src"], r["dst"]): r["trussness"] for r in res.trussness.collect()}
+    assert len(rows) == g.count()
+    for k in (3, 4, 5):
+        want = set(canonical_pairs(k_truss(g, k).edges))
+        got = {e for e, t in rows.items() if t >= k}
+        assert got == want, k
+    assert res.k_max == max_truss(g, k0=3).k == max(rows.values())
