@@ -58,6 +58,7 @@ from linkgraph.graph.triangles import transitivity
 from linkgraph.graph.truss import k_truss_components
 from linkgraph.graph.truss import k_truss, max_truss, truss_decomposition
 from linkgraph.graph.hits import hits
+from linkgraph.graph.hyperball import hyperball
 from linkgraph.graph.linkpred import link_prediction
 from linkgraph.graph.betweenness import betweenness_centrality, edge_betweenness
 from linkgraph.graph.bfs import bfs_distances, closeness_centrality, eccentricity
@@ -359,6 +360,18 @@ def _q_max_truss(spark, sf):
     return res.edges.sparkSession.createDataFrame(
         [(res.k, res.edges.count())], "k_max int, n_edges long"
     )
+
+
+def _q_hyperball(spark, sf):
+    # Neighborhood function at radii 0..3 with m=16 registers; the
+    # portable quadratic-scramble hash lets DuckDB replay the sketch
+    # bit-for-bit (see hyperball.py docstring), so the estimate — all
+    # exact dyadic register sums — value-matches after round(4).
+    res = hyperball(
+        datasets.sparse_edges(spark, sf), max_t=3, log2m=4,
+        until_convergence=False,
+    )
+    return res.balls.select("id", "t", F.round("est", 4).alias("est"))
 
 
 def _q_contracted_graph(spark, sf):
@@ -971,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_truss": _q_max_truss,
         "truss_decomposition": _q_truss_decomposition,
         "contracted_graph": _q_contracted_graph,
+        "hyperball_balls": _q_hyperball,
         "dedup_exact": _q_dedup_exact,
         "dedup_groups": _q_dedup_groups,
         "token_stats": _q_token_stats,
@@ -1012,6 +1026,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 # oracles
 # --------------------------------------------------------------------------
+
+
+from linkgraph.dedup.phash import _SEED_A as _HLL_SEED_A
+from linkgraph.dedup.phash import _SEED_B as _HLL_SEED_B
+from linkgraph.graph.hyperball import _A2 as _HLL_A2
+from linkgraph.graph.hyperball import _B2 as _HLL_B2
+from linkgraph.graph.hyperball import _alpha as _hll_alpha
+
+_HLL_AMM = _hll_alpha(16) * 16 * 16  # alpha_m * m^2 for the m=16 oracle
+
+
+def _hll_mix_sql(x: str, a: int, b: int) -> str:
+    """DuckDB rendering of hyperball._mix: LCG + two quadratic rounds
+    mod P1, every intermediate inside int64 (matches the Spark columns
+    literal-for-literal)."""
+    from linkgraph.dedup.phash import P1 as _P1
+
+    ap, bp = a % _P1, b % _P1
+    h1 = f"(({ap} * (({x}) % {_P1}) + {b}) % {_P1})"
+    h2 = f"(({h1} * {h1} + {ap}) % {_P1})"
+    return f"(({h2} * {h2} + {bp}) % {_P1})"
 
 
 def _poly_sql(expr: str, mult: int, mod: int) -> str:
@@ -1837,6 +1872,39 @@ WHERE k = (SELECT max(k) FROM fix)
   AND CASE WHEN k >= 12
            THEN error('max_truss oracle: k cap (12) is binding; raise range')
            ELSE TRUE END
+""",
+        # HyperBall sketch replay: unrolled radius-3 ball closure, the
+        # same quadratic-scramble register hash, dyadic-exact register
+        # sums; only ln() in the small-range branch is transcendental
+        # (round(4) absorbs any last-ulp divergence).
+        "hyperball_balls": f"""
+WITH {_E_SPARSE},
+v AS (SELECT DISTINCT src AS id FROM b),
+r0 AS (SELECT id AS v, id AS u FROM v),
+r1 AS (SELECT v, u FROM r0 UNION SELECT src, dst FROM b),
+r2 AS (SELECT DISTINCT a.v, c.u FROM r1 a JOIN r1 c ON c.v = a.u),
+r3 AS (SELECT DISTINCT a.v, c.u FROM r2 a JOIN r1 c ON c.v = a.u),
+pairs AS (
+  SELECT 0 AS t, v, u FROM r0
+  UNION ALL SELECT 1, v, u FROM r1
+  UNION ALL SELECT 2, v, u FROM r2
+  UNION ALL SELECT 3, v, u FROM r3),
+h AS (SELECT t, v,
+        {_hll_mix_sql('u', _HLL_SEED_A, _HLL_SEED_B)} % 16 AS j,
+        CASE WHEN {_hll_mix_sql('u', _HLL_A2, _HLL_B2)} = 0 THEN 31
+             ELSE 31 - length(bin({_hll_mix_sql('u', _HLL_A2, _HLL_B2)}))
+        END AS rho
+      FROM pairs),
+rmax AS (SELECT t, v, j, max(rho) AS rho FROM h GROUP BY t, v, j),
+agg AS (SELECT t, v,
+          sum(1.0 / power(2.0, rho)) + (16 - count(*)) AS inv_sum,
+          (16 - count(*)) + count(*) FILTER (WHERE rho = 0) AS zeros
+        FROM rmax GROUP BY t, v)
+SELECT v AS id, t,
+       round(CASE WHEN ({_HLL_AMM!r} / inv_sum) <= 40.0 AND zeros > 0
+                  THEN 16.0 * ln(16.0 / zeros)
+                  ELSE {_HLL_AMM!r} / inv_sum END, 4) AS est
+FROM agg
 """,
         "contracted_graph": f"""
 WITH {_E_SPARSE},
