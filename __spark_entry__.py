@@ -74,6 +74,7 @@ from linkgraph.graph.mis import maximal_independent_set
 from linkgraph.graph.scc import strongly_connected_components
 from linkgraph.multimodal.media import extract_features, synthetic_media
 from linkgraph.sim.ann import brute_force_topk, ivf_topk
+from linkgraph.sim.kmeans import kmeans
 from linkgraph.dedup.paragraphs import paragraph_dedup
 from linkgraph.text.analysis import language_id, quality_features, token_stats
 from linkgraph.text.c4 import c4_filters
@@ -359,6 +360,15 @@ def _q_max_truss(spark, sf):
     res = max_truss(datasets.sparse_edges(spark, sf), k0=3)
     return res.edges.sparkSession.createDataFrame(
         [(res.k, res.edges.count())], "k_max int, n_edges long"
+    )
+
+
+def _q_kmeans(spark, sf):
+    # Fixed 2 Lloyd rounds, deterministic smallest-id init; the oracle
+    # unrolls both rounds with the identical sequential distance fold.
+    res = kmeans(datasets.load(spark, sf, "embeddings"), k=4, n_iter=2)
+    return res.assignments.select(
+        "id", "cluster", F.round("d2", 6).alias("d2")
     )
 
 
@@ -985,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truss_decomposition": _q_truss_decomposition,
         "contracted_graph": _q_contracted_graph,
         "hyperball_balls": _q_hyperball,
+        "kmeans_clusters": _q_kmeans,
         "dedup_exact": _q_dedup_exact,
         "dedup_groups": _q_dedup_groups,
         "token_stats": _q_token_stats,
@@ -1035,6 +1046,18 @@ from linkgraph.graph.hyperball import _B2 as _HLL_B2
 from linkgraph.graph.hyperball import _alpha as _hll_alpha
 
 _HLL_AMM = _hll_alpha(16) * 16 * 16  # alpha_m * m^2 for the m=16 oracle
+
+# Sequential squared-L2 fold over the 64 embedding dims — the DuckDB
+# rendering of sim.kmeans._d2 (list_reduce is a left fold, exactly
+# F.aggregate's order). `cvec` binds to whichever centroid CTE is
+# cross-joined in scope.
+_KMEANS_D2 = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(generate_series(1, 64), "
+    "di -> (e.vec[CAST(di AS INT)] - cvec[CAST(di AS INT)])"
+    " * (e.vec[CAST(di AS INT)] - cvec[CAST(di AS INT)]))), "
+    "(acc, x) -> acc + x)"
+)
 
 
 def _hll_mix_sql(x: str, a: int, b: int) -> str:
@@ -1872,6 +1895,35 @@ WHERE k = (SELECT max(k) FROM fix)
   AND CASE WHEN k >= 12
            THEN error('max_truss oracle: k cap (12) is binding; raise range')
            ELSE TRUE END
+""",
+        # Two unrolled Lloyd rounds; the distance is the SAME sequential
+        # per-dimension fold as the Spark plan (list_reduce over
+        # doubles), so distances are bit-identical and argmin ties
+        # break identically. Explicit (a-b)*(a-b), never pow.
+        "kmeans_clusters": f"""
+WITH
+e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+      FROM embeddings),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid,
+              vec AS cvec
+       FROM (SELECT id, vec FROM e ORDER BY id LIMIT 4)),
+d0 AS (SELECT e.id, c0.cid, e.vec, {_KMEANS_D2} AS d2
+       FROM e CROSS JOIN c0),
+a0 AS (SELECT id, cid AS cluster, vec FROM (
+         SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cid)
+                AS rn FROM d0) WHERE rn = 1),
+m1 AS (SELECT cluster, i, avg(val) AS v FROM
+        (SELECT cluster, CAST(i AS INT) AS i, vec[CAST(i AS INT)] AS val
+         FROM a0, generate_series(1, 64) t(i)) GROUP BY cluster, i),
+mc1 AS (SELECT cluster AS cid, list(v ORDER BY i) AS cvec
+        FROM m1 GROUP BY cluster),
+c1 AS (SELECT c0.cid, coalesce(mc1.cvec, c0.cvec) AS cvec
+       FROM c0 LEFT JOIN mc1 ON mc1.cid = c0.cid),
+d1 AS (SELECT e.id, c1.cid, {_KMEANS_D2} AS d2
+       FROM e CROSS JOIN c1)
+SELECT id, cid AS cluster, round(d2, 6) AS d2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+  FROM d1) WHERE rn = 1
 """,
         # HyperBall sketch replay: unrolled radius-3 ball closure, the
         # same quadratic-scramble register hash, dyadic-exact register
