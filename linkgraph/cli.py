@@ -31,6 +31,9 @@ Modes (reference cites in parentheses):
   coloring        Jones-Plassmann greedy coloring (scope extension)
   layers          topological layers of the SCC condensation (scope extension)
   modularity      per-community modularity of the CC partition (scope extension)
+  trussdecomp     per-edge truss numbers, ascending peel (scope extension)
+  hyperball       HLL neighborhood function; --k = log2(registers) (scope extension)
+  contract        CC-community supergraph with edge multiplicities (scope extension)
 
 Input: either a parquet edge table (src, dst) or an edge-list text file
 ("<int><sep><int>" per line, Truss.scala:21-29); detected by extension.
@@ -176,6 +179,27 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         from linkgraph.graph.modularity import community_stats
 
         return community_stats(und, connected_components(und))
+    if args.mode == "trussdecomp":
+        from linkgraph.graph.truss import truss_decomposition
+
+        res = truss_decomposition(und)
+        print(f"k_max: {res.k_max}; phases: {res.phases}", file=sys.stderr)
+        return res.trussness
+    if args.mode == "hyperball":
+        from linkgraph.graph.hyperball import effective_diameter, hyperball
+
+        res = hyperball(und, max_t=args.max_iter, log2m=max(args.k, 2))
+        eff = effective_diameter(res.balls)
+        print(
+            f"hyperball rounds: {res.rounds}, converged={res.converged}, "
+            f"effective_diameter(0.9)={eff}",
+            file=sys.stderr,
+        )
+        return res.balls
+    if args.mode == "contract":
+        from linkgraph.graph.modularity import contract_graph
+
+        return contract_graph(und, connected_components(und))
     raise SystemExit(f"unknown mode: {args.mode}")
 
 

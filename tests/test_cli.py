@@ -84,3 +84,18 @@ def test_new_round2_modes(spark, mini_txt):
     bfs = run(_args("bfs", mini_txt, sources="1"), spark)
     got = {(r["root"], r["id"]): r["dist"] for r in bfs.collect()}
     assert got[(1, 1)] == 0 and all(d >= 0 for d in got.values())
+
+
+def test_round2b_modes(spark, mini_txt):
+    td = run(_args("trussdecomp", mini_txt), spark)
+    rows = {(r["src"], r["dst"]): r["trussness"] for r in td.collect()}
+    assert len(rows) == 27 and max(rows.values()) == 4
+    hb = run(_args("hyperball", mini_txt, k=4, max_iter=8), spark)
+    assert set(hb.columns) == {"id", "t", "est"}
+    assert hb.count() > 0
+    cg = run(_args("contract", mini_txt), spark)
+    assert set(cg.columns) == {"label_a", "label_b", "n_edges"}
+    # trussMini is connected: one supernode, all 27 edges internal
+    assert [(r["label_a"], r["label_b"], r["n_edges"]) for r in cg.collect()] == [
+        (1, 1, 27)
+    ]
