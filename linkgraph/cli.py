@@ -34,6 +34,8 @@ Modes (reference cites in parentheses):
   trussdecomp     per-edge truss numbers, ascending peel (scope extension)
   hyperball       HLL neighborhood function; --k = log2(registers) (scope extension)
   contract        CC-community supergraph with edge multiplicities (scope extension)
+  msf             Boruvka minimum spanning forest; weight = 1.0 unless the
+                  input parquet has a weight column (scope extension)
 
 Input: either a parquet edge table (src, dst) or an edge-list text file
 ("<int><sep><int>" per line, Truss.scala:21-29); detected by extension.
@@ -200,6 +202,17 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         from linkgraph.graph.modularity import contract_graph
 
         return contract_graph(und, connected_components(und))
+    if args.mode == "msf":
+        from linkgraph.graph.msf import minimum_spanning_forest
+
+        weighted = und if "weight" in und.columns else und.withColumn(
+            "weight", F.lit(1.0)
+        )
+        res = minimum_spanning_forest(weighted)
+        print(
+            f"msf: {res.n_edges} edges in {res.rounds} rounds", file=sys.stderr
+        )
+        return res.forest
     raise SystemExit(f"unknown mode: {args.mode}")
 
 

@@ -99,3 +99,9 @@ def test_round2b_modes(spark, mini_txt):
     assert [(r["label_a"], r["label_b"], r["n_edges"]) for r in cg.collect()] == [
         (1, 1, 27)
     ]
+
+
+def test_msf_mode(spark, mini_txt):
+    f = run(_args("msf", mini_txt), spark)
+    # trussMini is connected with 10 vertices -> spanning tree of 9 edges
+    assert f.count() == 9
