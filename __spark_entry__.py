@@ -81,10 +81,10 @@ from linkgraph.text.c4 import c4_filters
 from linkgraph.text.lm import unigram_lm_scores
 from linkgraph.text.pii import pii_features, redact_pii
 from linkgraph.text.pmi import pmi_pairs
-from linkgraph.text.stats import corpus_stats, term_frequencies
+from linkgraph.text.stats import corpus_stats, length_percentiles, term_frequencies
 from linkgraph.text.tfidf import tfidf_top_terms
 from linkgraph.text.decontam import ngram_contamination
-from linkgraph.sampling import hash_sample
+from linkgraph.sampling import hash_sample, weighted_sample
 
 # --------------------------------------------------------------------------
 # shared SQL prelude fragments (DuckDB side)
@@ -361,6 +361,26 @@ def _q_max_truss(spark, sf):
     return res.edges.sparkSession.createDataFrame(
         [(res.k, res.edges.count())], "k_max int, n_edges long"
     )
+
+
+def _q_length_percentiles(spark, sf):
+    # Exact type-7 percentiles: Spark `percentile` and DuckDB
+    # `quantile_cont` share the interpolation definition (verified on
+    # a golden 9-point set).
+    return length_percentiles(datasets.load(spark, sf, "documents"))
+
+
+def _q_weighted_sample(spark, sf):
+    # Quality-weighted deterministic sampling: keep probability
+    # proportional to document length (n_chars / 2000, saturating).
+    d = datasets.load(spark, sf, "documents").select("doc_id", "n_chars")
+    kept = weighted_sample(
+        d.withColumn("wt", F.col("n_chars") / F.lit(2000.0)),
+        "doc_id",
+        "wt",
+        portable=True,
+    )
+    return kept.select("doc_id")
 
 
 def _q_kmeans(spark, sf):
@@ -996,6 +1016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contracted_graph": _q_contracted_graph,
         "hyperball_balls": _q_hyperball,
         "kmeans_clusters": _q_kmeans,
+        "length_percentiles": _q_length_percentiles,
+        "weighted_sample": _q_weighted_sample,
         "dedup_exact": _q_dedup_exact,
         "dedup_groups": _q_dedup_groups,
         "token_stats": _q_token_stats,
@@ -1895,6 +1917,27 @@ WHERE k = (SELECT max(k) FROM fix)
   AND CASE WHEN k >= 12
            THEN error('max_truss oracle: k cap (12) is binding; raise range')
            ELSE TRUE END
+""",
+        "length_percentiles": """
+SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS mean_len,
+       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+       round(quantile_cont(n_chars, 0.50), 6) AS p50,
+       round(quantile_cont(n_chars, 0.75), 6) AS p75,
+       round(quantile_cont(n_chars, 0.90), 6) AS p90,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99
+FROM documents GROUP BY lang
+""",
+        # weighted keep: same avalanche chain as hash_sample with salt
+        # ':w', per-row cut = n_chars/2000 of bucket space (saturating)
+        "weighted_sample": f"""
+WITH h0 AS (SELECT doc_id, n_chars,
+  ({_poly_sql("concat(CAST(doc_id AS VARCHAR), ':w')", 31, 1_000_000_007)}) AS h
+  FROM documents),
+h1 AS (SELECT doc_id, n_chars, (h * h + {0x9E3779B9}) % 1000000007 AS h FROM h0),
+h2 AS (SELECT doc_id, n_chars, (h * h + {0x85EBCA6B}) % 1000000007 AS h FROM h1)
+SELECT doc_id FROM h2
+WHERE CAST(h % 1000000 AS DOUBLE)
+      < least(1000000.0, (n_chars / 2000.0) * 1000000.0)
 """,
         # Two unrolled Lloyd rounds; the distance is the SAME sequential
         # per-dimension fold as the Spark plan (list_reduce over

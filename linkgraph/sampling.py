@@ -100,3 +100,31 @@ def stratified_sample(
             F.col(strata_col) == s, F.lit(int(round(frac * _BUCKETS)))
         ).otherwise(cut)
     return df.where(_bucket(F.col(key_col), salt, portable) < cut)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    scale: float = 1.0,
+    salt: str = "w",
+    portable: bool = False,
+) -> DataFrame:
+    """Keep each key with probability ``min(1, scale * weight)`` —
+    deterministic importance sampling (quality-weighted data mixing:
+    up-weight high-quality documents by keeping them with higher
+    probability, reproducibly).
+
+    Same single pushed-down filter as `hash_sample`: the per-row cut is
+    ``scale * weight * _BUCKETS`` instead of a constant, so the keep
+    decision is still a pure function of (key, salt, weight) — stable
+    across runs, executor counts, and repartitions. Weights > 1/scale
+    are always kept (cut saturates at the bucket space).
+    """
+    cut = F.least(
+        F.lit(float(_BUCKETS)),
+        F.col(weight_col).cast("double") * F.lit(scale * _BUCKETS),
+    )
+    return df.where(
+        _bucket(F.col(key_col), salt, portable).cast("double") < cut
+    )

@@ -70,3 +70,36 @@ def corpus_stats(
         "vocab_size",
         "zipf_slope",
     )
+
+
+def length_percentiles(
+    df: DataFrame,
+    col: str = "n_chars",
+    by: str = "lang",
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group exact length percentiles (type-7 linear interpolation,
+    the definition Spark's `percentile` and DuckDB's `quantile_cont`
+    share) plus count/mean — the length-distribution audit every
+    corpus cut starts from.
+
+    Exact percentiles sort WITHIN each group's aggregation buffer; at
+    100 TB the same call swaps to `approx_percentile` (t-digest,
+    mergeable sketch, no global sort) — the output contract is
+    identical, which is why the column names don't bake in exactness.
+    """
+    qcol = F.lit(list(quantiles)).cast("array<double>")
+    out = df.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(col), 6).alias("mean_len"),
+        F.percentile(col, qcol).alias("_q"),
+    )
+    return out.select(
+        by,
+        "n_docs",
+        "mean_len",
+        *[
+            F.round(F.col("_q")[i], 6).alias(f"p{int(q * 100)}")
+            for i, q in enumerate(quantiles)
+        ],
+    )

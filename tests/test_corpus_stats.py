@@ -53,3 +53,19 @@ def test_corpus_stats_values(spark):
     )
     assert abs(row["zipf_slope"] - slope) < 1e-9
     assert slope < 0  # frequencies decay with rank
+
+
+def test_length_percentiles_match_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from linkgraph.text.stats import length_percentiles
+
+    vals = {"en": [10, 20, 30, 40, 55, 200], "de": [5, 7, 9]}
+    rows = [(lang, v) for lang, vs in vals.items() for v in vs]
+    df = spark.createDataFrame(rows, "lang string, n_chars int")
+    got = {r["lang"]: r for r in length_percentiles(df).collect()}
+    for lang, vs in vals.items():
+        for q in (25, 50, 75, 90, 99):
+            want = float(np.percentile(vs, q))  # numpy default = type 7
+            assert abs(got[lang][f"p{q}"] - round(want, 6)) < 1e-9, (lang, q)
+        assert got[lang]["n_docs"] == len(vs)

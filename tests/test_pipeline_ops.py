@@ -159,3 +159,25 @@ def test_decontam_empty_benchmark(spark, docs):
     out = ngram_contamination(docs, empty, n=3)
     assert out.where("contaminated").count() == 0
     assert out.count() == docs.count()
+
+
+def test_weighted_sample_monotone_and_deterministic(spark):
+    from linkgraph.sampling import weighted_sample
+    from pyspark.sql import functions as F
+
+    d = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 100 / 100.0).alias("wt")
+    )
+    lo = {r["doc_id"] for r in weighted_sample(d, "doc_id", "wt", scale=0.5).collect()}
+    hi = {r["doc_id"] for r in weighted_sample(d, "doc_id", "wt", scale=1.0).collect()}
+    again = {r["doc_id"] for r in weighted_sample(d, "doc_id", "wt", scale=1.0).collect()}
+    assert hi == again                      # deterministic
+    assert lo <= hi                         # monotone in scale per key
+    # weight >= 1/scale -> always kept
+    heavy = d.withColumn("wt", F.lit(2.0))
+    assert weighted_sample(heavy, "doc_id", "wt", scale=1.0).count() == 2000
+    # zero weight -> never kept
+    zero = d.withColumn("wt", F.lit(0.0))
+    assert weighted_sample(zero, "doc_id", "wt", scale=1.0).count() == 0
+    # keep rate tracks mean weight (mean wt ~ 0.495)
+    assert abs(len(hi) / 2000 - 0.495) < 0.05
