@@ -59,6 +59,7 @@ from linkgraph.graph.truss import k_truss_components
 from linkgraph.graph.truss import k_truss, max_truss, truss_decomposition
 from linkgraph.graph.hits import hits
 from linkgraph.graph.hyperball import hyperball
+from linkgraph.graph.localcluster import local_cluster
 from linkgraph.graph.linkpred import link_prediction
 from linkgraph.graph.betweenness import betweenness_centrality, edge_betweenness
 from linkgraph.graph.bfs import bfs_distances, closeness_centrality, eccentricity
@@ -360,6 +361,26 @@ def _q_max_truss(spark, sf):
     res = max_truss(datasets.sparse_edges(spark, sf), k0=3)
     return res.edges.sparkSession.createDataFrame(
         [(res.k, res.edges.count())], "k_max int, n_edges long"
+    )
+
+
+def _q_local_cluster(spark, sf):
+    # Sweep cut around the smallest vertex id; cut/volume are integer
+    # arithmetic so only the float ORDERING needed rounding (9 dp).
+    edges = datasets.co_purchase_edges(spark, sf)
+    seed = (
+        E.degrees(edges)
+        .orderBy(F.desc("degree"), F.asc("id"))
+        .limit(1)
+        .collect()[0]["id"]
+    )
+    res = local_cluster(edges, seed=int(seed), k=60, max_iter=20)
+    return res.sweep.select(
+        "pos",
+        "id",
+        "volume",
+        "cut_edges",
+        F.round("conductance", 6).alias("conductance"),
     )
 
 
@@ -1016,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contracted_graph": _q_contracted_graph,
         "hyperball_balls": _q_hyperball,
         "kmeans_clusters": _q_kmeans,
+        "local_cluster_sweep": _q_local_cluster,
         "length_percentiles": _q_length_percentiles,
         "weighted_sample": _q_weighted_sample,
         "dedup_exact": _q_dedup_exact,
@@ -1917,6 +1939,58 @@ WHERE k = (SELECT max(k) FROM fix)
   AND CASE WHEN k >= 12
            THEN error('max_truss oracle: k cap (12) is binding; raise range')
            ELSE TRUE END
+""",
+        # PPR (single seed, fixed 20 rounds — the pagerank_personalized
+        # recursion) -> score order -> difference-array sweep; cut and
+        # volume are integers, conductance is their division.
+        "local_cluster_sweep": f"""
+WITH RECURSIVE {_E_DENSE},
+b AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+deg AS (SELECT src AS id, count(*) AS degree FROM b GROUP BY src),
+seeds AS (SELECT id FROM deg ORDER BY degree DESC, id LIMIT 1),
+pr(it, id, rank) AS (
+  SELECT 0, deg.id,
+         CASE WHEN deg.id IN (SELECT id FROM seeds)
+              THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+  FROM deg
+  UNION ALL
+  SELECT it + 1, t.id,
+         CASE WHEN t.id IN (SELECT id FROM seeds)
+              THEN CAST(0.15 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+         + CAST(0.85 AS DOUBLE) * t.contrib
+  FROM (
+    SELECT it, b.dst AS id, sum(pr.rank / deg.degree) AS contrib
+    FROM pr JOIN b ON pr.id = b.src JOIN deg ON deg.id = b.src
+    WHERE it < 20
+    GROUP BY it, b.dst) t),
+p AS (SELECT id, rank FROM pr WHERE it = 20 AND rank > 0),
+sc AS (SELECT p.id, round(p.rank / deg.degree, 9) AS score, deg.degree
+       FROM p JOIN deg ON deg.id = p.id),
+topk AS (SELECT id, degree,
+                row_number() OVER (ORDER BY score DESC, id) AS pos
+         FROM (SELECT * FROM sc ORDER BY score DESC, id LIMIT 60)),
+tot AS (SELECT sum(degree) AS v FROM deg),
+ev AS (SELECT ts.pos AS pu, td.pos AS pv
+       FROM e LEFT JOIN topk ts ON ts.id = e.src
+              LEFT JOIN topk td ON td.id = e.dst),
+delta AS (
+  SELECT least(pu, pv) AS pos, 1 AS d FROM ev
+  WHERE pu IS NOT NULL AND pv IS NOT NULL
+  UNION ALL
+  SELECT greatest(pu, pv), -1 FROM ev
+  WHERE pu IS NOT NULL AND pv IS NOT NULL
+  UNION ALL
+  SELECT coalesce(pu, pv), 1 FROM ev WHERE (pu IS NULL) <> (pv IS NULL)),
+dd AS (SELECT pos, sum(d) AS d FROM delta GROUP BY pos)
+SELECT t.pos, t.id,
+       sum(t.degree) OVER (ORDER BY t.pos) AS volume,
+       sum(coalesce(dd.d, 0)) OVER (ORDER BY t.pos) AS cut_edges,
+       round(CAST(sum(coalesce(dd.d, 0)) OVER (ORDER BY t.pos) AS DOUBLE)
+             / least(sum(t.degree) OVER (ORDER BY t.pos),
+                     (SELECT v FROM tot)
+                     - sum(t.degree) OVER (ORDER BY t.pos)), 6)
+         AS conductance
+FROM topk t LEFT JOIN dd ON dd.pos = t.pos
 """,
         "length_percentiles": """
 SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS mean_len,

@@ -36,6 +36,7 @@ Modes (reference cites in parentheses):
   contract        CC-community supergraph with edge multiplicities (scope extension)
   msf             Boruvka minimum spanning forest; weight = 1.0 unless the
                   input parquet has a weight column (scope extension)
+  localcluster    PPR sweep-cut community around --sources seed (scope extension)
 
 Input: either a parquet edge table (src, dst) or an edge-list text file
 ("<int><sep><int>" per line, Truss.scala:21-29); detected by extension.
@@ -213,6 +214,21 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
             f"msf: {res.n_edges} edges in {res.rounds} rounds", file=sys.stderr
         )
         return res.forest
+    if args.mode == "localcluster":
+        from linkgraph.graph.localcluster import local_cluster
+
+        seeds = [int(s) for s in (args.sources or "").split(",") if s != ""]
+        if not seeds:
+            seeds = [
+                r["id"] for r in E.degrees(und).orderBy("id").limit(1).collect()
+            ]
+        res = local_cluster(und, seed=seeds[0], max_iter=args.max_iter)
+        print(
+            f"localcluster: best prefix {res.best_pos}, "
+            f"conductance {res.best_conductance:.6f}",
+            file=sys.stderr,
+        )
+        return res.sweep
     raise SystemExit(f"unknown mode: {args.mode}")
 
 

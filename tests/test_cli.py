@@ -105,3 +105,9 @@ def test_msf_mode(spark, mini_txt):
     f = run(_args("msf", mini_txt), spark)
     # trussMini is connected with 10 vertices -> spanning tree of 9 edges
     assert f.count() == 9
+
+
+def test_localcluster_mode(spark, mini_txt):
+    sw = run(_args("localcluster", mini_txt, sources="1"), spark)
+    assert {"pos", "id", "volume", "cut_edges", "conductance"} <= set(sw.columns)
+    assert sw.count() > 0
