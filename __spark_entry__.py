@@ -66,7 +66,7 @@ from linkgraph.graph.bfs import bfs_distances, closeness_centrality, eccentricit
 from linkgraph.graph.modularity import community_stats, contract_graph
 from linkgraph.graph.squares import square_count
 from linkgraph.graph.sssp import shortest_paths
-from linkgraph.graph.walks import walk_corpus
+from linkgraph.graph.walks import node2vec_walks, walk_corpus
 from linkgraph.graph.ego import ego_network
 from linkgraph.graph.layers import condensation, topological_layers
 from linkgraph.graph.coloring import greedy_coloring
@@ -362,6 +362,16 @@ def _q_max_truss(spark, sf):
     return res.edges.sparkSession.createDataFrame(
         [(res.k, res.edges.count())], "k_max int, n_edges long"
     )
+
+
+def _q_node2vec(spark, sf):
+    # 3-step node2vec walks, p=2 q=3 -> integer alphas (3, 6, 2); the
+    # oracle unrolls the three steps with the identical hash draw.
+    w = node2vec_walks(
+        datasets.sparse_edges(spark, sf), walk_length=3,
+        walks_per_vertex=1, p=2, q=3,
+    )
+    return w.select("walk_id", F.posexplode("path").alias("step", "vertex"))
 
 
 def _q_local_cluster(spark, sf):
@@ -1037,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contracted_graph": _q_contracted_graph,
         "hyperball_balls": _q_hyperball,
         "kmeans_clusters": _q_kmeans,
+        "node2vec_walks": _q_node2vec,
         "local_cluster_sweep": _q_local_cluster,
         "length_percentiles": _q_length_percentiles,
         "weighted_sample": _q_weighted_sample,
@@ -1939,6 +1950,48 @@ WHERE k = (SELECT max(k) FROM fix)
   AND CASE WHEN k >= 12
            THEN error('max_truss oracle: k cap (12) is binding; raise range')
            ELSE TRUE END
+""",
+        # node2vec replay: step 0 is the uniform draw, steps 1-2 the
+        # biased draw with integer alphas (3=return, 6=common, 2=far);
+        # same LCG-hash constants as walks.py, 1-indexed DuckDB lists.
+        "node2vec_walks": f"""
+WITH {_E_SPARSE},
+adj AS (SELECT src AS id, list(dst ORDER BY dst) AS nbrs
+        FROM (SELECT DISTINCT src, dst FROM b) GROUP BY src),
+s1 AS (SELECT id AS walk_id, id AS prev,
+              nbrs[CAST((((id % 1000000007) * 1103515245 + 1013904223)
+                         % 1000000007) % len(nbrs) AS INT) + 1] AS cur
+       FROM adj),
+c1 AS (SELECT s.walk_id, s.prev, s.cur, u.x
+       FROM s1 s JOIN adj a ON a.id = s.cur, unnest(a.nbrs) AS u(x)),
+w1 AS (SELECT c1.*, CASE WHEN x = prev THEN 3
+                         WHEN ex.src IS NOT NULL THEN 6 ELSE 2 END AS w
+       FROM c1 LEFT JOIN e ex ON ex.src = least(c1.prev, c1.x)
+                             AND ex.dst = greatest(c1.prev, c1.x)),
+a1 AS (SELECT *, sum(w) OVER (PARTITION BY walk_id ORDER BY x) AS cum,
+              sum(w) OVER (PARTITION BY walk_id) AS total FROM w1),
+p1 AS (SELECT walk_id, cur AS prev, x AS cur FROM a1
+       WHERE cum - w <= (((walk_id % 1000000007) * 1103515245
+                          + (12345 + 1013904223)) % 1000000007) % total
+         AND (((walk_id % 1000000007) * 1103515245
+               + (12345 + 1013904223)) % 1000000007) % total < cum),
+c2 AS (SELECT s.walk_id, s.prev, s.cur, u.x
+       FROM p1 s JOIN adj a ON a.id = s.cur, unnest(a.nbrs) AS u(x)),
+w2 AS (SELECT c2.*, CASE WHEN x = prev THEN 3
+                         WHEN ex.src IS NOT NULL THEN 6 ELSE 2 END AS w
+       FROM c2 LEFT JOIN e ex ON ex.src = least(c2.prev, c2.x)
+                             AND ex.dst = greatest(c2.prev, c2.x)),
+a2 AS (SELECT *, sum(w) OVER (PARTITION BY walk_id ORDER BY x) AS cum,
+              sum(w) OVER (PARTITION BY walk_id) AS total FROM w2),
+p2 AS (SELECT walk_id, x AS cur FROM a2
+       WHERE cum - w <= (((walk_id % 1000000007) * 1103515245
+                          + (2 * 12345 + 1013904223)) % 1000000007) % total
+         AND (((walk_id % 1000000007) * 1103515245
+               + (2 * 12345 + 1013904223)) % 1000000007) % total < cum)
+SELECT walk_id, 0 AS step, walk_id AS vertex FROM adj t(walk_id, _n)
+UNION ALL SELECT walk_id, 1, cur FROM s1
+UNION ALL SELECT walk_id, 2, cur FROM p1
+UNION ALL SELECT walk_id, 3, cur FROM p2
 """,
         # PPR (single seed, fixed 20 rounds — the pagerank_personalized
         # recursion) -> score order -> difference-array sweep; cut and

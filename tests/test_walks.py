@@ -66,3 +66,67 @@ def test_walk_corpus_shape(spark):
         steps.sort()
         assert [s for s, _ in steps] == list(range(len(steps)))
         assert len(steps) == 4  # path graph: no sinks, full length + start
+
+
+def _py_node2vec(pairs, L, wpv, p, q):
+    from linkgraph.graph.walks import A_WALK, B_WALK, C_WALK, P_WALK
+
+    adj: dict[int, list[int]] = {}
+    eset = set()
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+        eset.add((min(a, b), max(a, b)))
+    adj = {v: sorted(set(ns)) for v, ns in adj.items()}
+    walks = {}
+    for v in adj:
+        for k in range(wpv):
+            wid = v * wpv + k
+            path = [v]
+            # step 0: uniform
+            h = ((wid % P_WALK) * A_WALK + (0 * B_WALK + C_WALK)) % P_WALK
+            path.append(adj[v][h % len(adj[v])])
+            for step in range(1, L):
+                prev, cur = path[-2], path[-1]
+                cands = adj[cur]
+                ws = [
+                    q if x == prev
+                    else (p * q if (min(prev, x), max(prev, x)) in eset else p)
+                    for x in cands
+                ]
+                h = ((wid % P_WALK) * A_WALK + (step * B_WALK + C_WALK)) % P_WALK
+                r = h % sum(ws)
+                acc = 0
+                for x, w in zip(cands, ws):
+                    acc += w
+                    if r < acc:
+                        path.append(x)
+                        break
+            walks[wid] = path
+    return walks
+
+
+def test_node2vec_matches_python_replay(spark):
+    from linkgraph.graph.walks import node2vec_walks
+    from tests.conftest import gnp_graph
+
+    g = gnp_graph(spark, n=40, p=0.12, seed=21)
+    pairs = [(r["src"], r["dst"]) for r in g.collect()]
+    res = node2vec_walks(g, walk_length=6, walks_per_vertex=2, p=4, q=1)
+    got = {r["walk_id"]: list(r["path"]) for r in res.collect()}
+    want = _py_node2vec(pairs, 6, 2, 4, 1)
+    assert got == want
+
+
+def test_node2vec_p1q1_is_valid_walk(spark):
+    from linkgraph.graph.walks import node2vec_walks
+    from tests.conftest import ring_of_cliques
+
+    g = ring_of_cliques(spark, 3, 4)
+    eset = {(min(r["src"], r["dst"]), max(r["src"], r["dst"])) for r in g.collect()}
+    res = node2vec_walks(g, walk_length=5, walks_per_vertex=1)
+    for r in res.collect():
+        path = list(r["path"])
+        assert len(path) == 6
+        for a, b in zip(path, path[1:]):
+            assert (min(a, b), max(a, b)) in eset
