@@ -81,3 +81,62 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_sliding_counts(
+    events: DataFrame,
+    minutes: int = 60,
+    slide_minutes: int = 15,
+    watermark_minutes: int = 120,
+) -> DataFrame:
+    """Watermarked SLIDING-window counts (each event lands in
+    window/slide overlapping windows) — the trending-detection shape.
+
+    State is O(active windows x event types): each event updates
+    minutes/slide_minutes windows, all map-side-combinable before the
+    shuffle. Append mode: a window emits once, when the watermark
+    passes its end.
+    """
+    w = F.window("ts", f"{minutes} minutes", f"{slide_minutes} minutes")
+    return (
+        events.withWatermark("ts", f"{watermark_minutes} minutes")
+        .groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def trending_types(
+    sliding_counts: DataFrame, baseline_windows: int = 4
+) -> DataFrame:
+    """Batch post-pass over emitted sliding counts: per event type,
+    each window's lift vs the trailing mean of the previous
+    ``baseline_windows`` windows — the classic trending score. A
+    window sort per type is bounded by the retention horizon, not
+    history (upstream eviction already dropped old windows)."""
+    from pyspark.sql import Window as W
+
+    byt = (
+        W.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(-baseline_windows, -1)
+    )
+    base = F.avg("n_events").over(byt)
+    return sliding_counts.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round(base, 6).alias("baseline"),
+        F.when(
+            base > 0, F.round(F.col("n_events") / base, 6)
+        ).alias("lift"),
+    )
