@@ -71,6 +71,7 @@ from linkgraph.graph.ego import ego_network
 from linkgraph.graph.layers import condensation, topological_layers
 from linkgraph.graph.coloring import greedy_coloring
 from linkgraph.graph.katz import katz_centrality
+from linkgraph.graph.eigencentrality import eigenvector_centrality
 from linkgraph.graph.mis import maximal_independent_set
 from linkgraph.graph.scc import strongly_connected_components
 from linkgraph.multimodal.media import extract_features, synthetic_media
@@ -775,6 +776,21 @@ def _q_katz(spark, sf):
     return res.scores.select("id", F.round("katz", 6).alias("katz"))
 
 
+def _q_eigenvector(spark, sf):
+    # Fixed 20 normalized power-iteration rounds (tol=0) so the oracle
+    # recursion depth matches exactly — the katz/pagerank contract.
+    res = eigenvector_centrality(datasets.sparse_edges(spark, sf), max_iter=20)
+    return res.scores.select("id", F.round("score", 6).alias("score"))
+
+
+def _q_rich_club(spark, sf):
+    # Rich-club curve over the dense co-purchase graph; counts are
+    # exact integers, phi is one double expression on top of them.
+    return E.rich_club_coefficients(
+        datasets.co_purchase_edges(spark, sf)
+    ).select("k", "n_rich", "e_rich", F.round("phi", 6).alias("phi"))
+
+
 def _q_coloring(spark, sf):
     # Jones–Plassmann coloring on the sparse graph; the static portable
     # (priority, id) order makes the rounds engine-independent.
@@ -1039,6 +1055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_members": _q_mis,
         "graph_coloring": _q_coloring,
         "katz_centrality": _q_katz,
+        "eigenvector_centrality": _q_eigenvector,
+        "rich_club": _q_rich_club,
         "closeness_centrality": _q_closeness,
         "pagerank_weighted": _q_pagerank_weighted,
         "clustering_coefficient": _q_clustering,
@@ -1705,6 +1723,61 @@ kz(it, id, x) AS (
   WHERE it < 20
   GROUP BY it, b.dst)
 SELECT id, round(x, 6) AS katz FROM kz WHERE it = 20
+""",
+        # Eigenvector centrality: same fixed-depth recursion contract
+        # as katz, plus the per-round L2 normalization as scalar
+        # subqueries (the hits_scores pattern). Init parity: Spark
+        # normalizes the all-ones vector -> 1/sqrt(n), identical
+        # double ops on both engines.
+        "eigenvector_centrality": f"""
+WITH RECURSIVE {_E_SPARSE},
+v AS (SELECT DISTINCT src AS id FROM b),
+ev(it, id, x) AS (
+  SELECT 0, id, 1.0 / sqrt((SELECT count(*) FROM v)) FROM v
+  UNION ALL
+  SELECT * FROM (
+    WITH cur AS (SELECT id, x FROM ev),
+    c AS (SELECT b.dst AS id, sum(cur.x) AS s
+          FROM cur JOIN b ON cur.id = b.src GROUP BY b.dst),
+    x1 AS (SELECT v.id, coalesce(c.s, 0.0) AS s
+           FROM v LEFT JOIN c ON c.id = v.id),
+    xn AS (SELECT id, CASE WHEN (SELECT sqrt(sum(s * s)) FROM x1) > 0
+                           THEN s / (SELECT sqrt(sum(s * s)) FROM x1)
+                           ELSE 0.0 END AS s FROM x1)
+    SELECT (SELECT max(it) FROM ev) + 1, id, s FROM xn
+  ) t
+  WHERE (SELECT max(it) FROM ev) < 20
+)
+SELECT id, round(x, 6) AS score FROM ev WHERE it = 20
+""",
+        # Rich club: both tail counts are reverse-exclusive running
+        # sums over the vertex-degree and edge-min-degree histograms —
+        # the same two-histogram identity as edges.py (an edge is
+        # inside the k-club iff min(deg_u, deg_v) > k).
+        "rich_club": f"""
+WITH {_E_DENSE},
+deg AS (SELECT id, count(*) AS d FROM
+          (SELECT src AS id FROM e UNION ALL SELECT dst FROM e) t
+        GROUP BY id),
+vh AS (SELECT d AS k, count(*) AS nv FROM deg GROUP BY d),
+eh AS (SELECT least(ds.d, dd.d) AS k, count(*) AS ne
+       FROM e JOIN deg ds ON ds.id = e.src
+              JOIN deg dd ON dd.id = e.dst
+       GROUP BY 1),
+ks AS (SELECT k FROM vh UNION SELECT k FROM eh),
+j AS (SELECT ks.k, coalesce(vh.nv, 0) AS nv, coalesce(eh.ne, 0) AS ne
+      FROM ks LEFT JOIN vh ON vh.k = ks.k LEFT JOIN eh ON eh.k = ks.k),
+c AS (SELECT k,
+        CAST(coalesce(sum(nv) OVER (ORDER BY k DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS n_rich,
+        CAST(coalesce(sum(ne) OVER (ORDER BY k DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS e_rich
+      FROM j)
+SELECT k, n_rich, e_rich,
+       round(2.0 * e_rich / (n_rich * (n_rich - 1)), 6) AS phi
+FROM c WHERE n_rich >= 2
 """,
         # Jones–Plassmann replay: static packed priorities (valid for
         # ids < 2^21 at oracle scale), winners take the mex of their

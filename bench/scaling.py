@@ -234,12 +234,21 @@ def run_level(mode: str, edges_path: str) -> None:
     # count, which would inflate the fast levels' relative cost and
     # understate efficiency). The cluster criterion describes
     # steady-state job throughput, so time the second pass.
-    triangles(edges, strategy="join").count()
+    skip_tri = os.environ.get("SCALING_SKIP_TRI", "0") == "1"
+    if not skip_tri:
+        triangles(edges, strategy="join").count()
     pagerank(edges, max_iter=2, tol=0.0)
 
-    t0 = time.time()
-    n_tri = triangles(edges, strategy="join").count()
-    t_tri = time.time() - t0
+    if skip_tri:
+        # PR-only suite (used for the large amortizing-scale runs where
+        # a triangle pass per rep would triple the suite wall time);
+        # the log is merged into the report by hand, never by
+        # write_report (which needs tri_sec).
+        n_tri, t_tri = None, None
+    else:
+        t0 = time.time()
+        n_tri = triangles(edges, strategy="join").count()
+        t_tri = time.time() - t0
 
     pr = pagerank(edges, max_iter=PR_ITERS, tol=0.0)
     pr.ranks.count()
@@ -255,7 +264,7 @@ def run_level(mode: str, edges_path: str) -> None:
                 "n_executors": n_exec,
                 "n_edges": n_edges,
                 "n_triangles": n_tri,
-                "tri_sec": round(t_tri, 3),
+                "tri_sec": None if t_tri is None else round(t_tri, 3),
                 "pr_loop_sec": round(t_pr, 3),
                 "pr_supersteps": len(walls) - PR_SKIP,
                 "pr_walls": walls,
@@ -342,13 +351,18 @@ def main() -> None:
             print(f"rep {rep} {mode}: {rec}", file=sys.stderr)
         # Incremental report: best-of-reps-so-far after every completed rep,
         # so a killed suite still leaves a consistent BENCH/BASELINE.md.
+        # PR-only suites never write the report (tri_sec is None there);
+        # their LEVELJSON log lines are merged by hand.
+        if os.environ.get("SCALING_SKIP_TRI", "0") == "1":
+            continue
         if all(runs[m] for m in MODES):
             try:
                 write_report(runs)
             except Exception as e:  # report is best-effort mid-suite
                 print(f"rep {rep}: report write failed: {e}", file=sys.stderr)
 
-    write_report(runs)
+    if os.environ.get("SCALING_SKIP_TRI", "0") != "1":
+        write_report(runs)
 
 
 def _load_prior_runs() -> dict[str, list[dict]]:
