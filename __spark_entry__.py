@@ -40,6 +40,8 @@ from linkgraph.events import (
     event_type_funnel,
     range_join,
     sessionize,
+    sliding_window_counts,
+    trending_lift,
     tumbling_window_counts,
 )
 from linkgraph.dedup.exact import deduplicate_exact, exact_duplicate_groups
@@ -647,6 +649,15 @@ def _q_events_windows(spark, sf):
     return tumbling_window_counts(datasets.load(spark, sf, "events"), minutes=60)
 
 
+def _q_events_trending(spark, sf):
+    # 60-minute windows sliding every 15: each event lands in 4
+    # windows; lift = count / trailing-4-window mean per event type.
+    # window_start is epoch seconds (the portable representation).
+    return trending_lift(
+        sliding_window_counts(datasets.load(spark, sf, "events"), 60, 15), 4
+    )
+
+
 def _q_events_sessions(spark, sf):
     # Contract surface: session_id as bigint and session bounds as
     # epoch-micros longs on BOTH sides — Spark's sum(int)->bigint /
@@ -1100,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity": _q_eccentricity,
         "media_features": _q_media_features,
         "events_window_counts": _q_events_windows,
+        "events_trending": _q_events_trending,
         "events_sessionize": _q_events_sessions,
         "events_funnel": _q_events_funnel,
         "events_asof": _q_events_asof,
@@ -2335,6 +2347,30 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.3
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events, round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        # Sliding windows: an event at epoch second es lands in the 4
+        # slide-aligned windows starting at (es//900 - i)*900, i in
+        # 0..3 (window 3600s / slide 900s, epoch-aligned exactly like
+        # Spark's F.window). Lift = count / trailing-4-window mean per
+        # type (ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING — the same
+        # frame as trending_lift); the first windows of a type have an
+        # empty frame -> NULL baseline/lift on both engines.
+        "events_trending": """
+WITH ev AS (
+  SELECT epoch_us(ts) // 1000000 AS es, event_type FROM events),
+wins AS (
+  SELECT (es // 900 - g.i) * 900 AS window_start, event_type
+  FROM ev, generate_series(0, 3) g(i)
+  WHERE (es // 900 - g.i) * 900 > es - 3600),
+c AS (SELECT window_start, event_type, count(*) AS n_events
+      FROM wins GROUP BY 1, 2)
+SELECT window_start, event_type, n_events,
+       round(avg(n_events) OVER f, 6) AS baseline,
+       CASE WHEN avg(n_events) OVER f > 0
+            THEN round(n_events / avg(n_events) OVER f, 6) END AS lift
+FROM c
+WINDOW f AS (PARTITION BY event_type ORDER BY window_start
+             ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
 """,
         "events_sessionize": """
 WITH g AS (

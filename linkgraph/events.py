@@ -40,6 +40,55 @@ def tumbling_window_counts(
     )
 
 
+def sliding_window_counts(
+    events: DataFrame, minutes: int = 60, slide_minutes: int = 15
+) -> DataFrame:
+    """(window_start, event_type, n_events) per SLIDING window — the
+    batch twin of ``streaming.streaming_sliding_counts`` (same
+    ``F.window(ts, length, slide)`` expression, no watermark). Each
+    event lands in length/slide windows; the explode is bounded by
+    that constant factor and the aggregate is map-side combinable, so
+    the shuffle carries at most (windows x types) rows per partition.
+    ``window_start`` is emitted as truncated epoch seconds (long), the
+    engine-portable representation (events_sessionize contract)."""
+    w = F.window("ts", f"{minutes} minutes", f"{slide_minutes} minutes")
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def trending_lift(
+    sliding_counts: DataFrame, baseline_windows: int = 4
+) -> DataFrame:
+    """Per event type, each sliding window's count lift vs the
+    trailing mean of the previous ``baseline_windows`` windows (the
+    classic trending score; the streaming post-pass
+    ``streaming.trending_types`` applies the same frame to emitted
+    windows). Window starts are unique per type after the sliding
+    aggregate, so the ROWS frame is deterministic. The per-type sort
+    is bounded by the number of windows in the horizon, not by event
+    volume."""
+    byt = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(-baseline_windows, -1)
+    )
+    base = F.avg("n_events").over(byt)
+    return sliding_counts.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round(base, 6).alias("baseline"),
+        F.when(base > 0, F.round(F.col("n_events") / base, 6)).alias("lift"),
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """(user_id, session_id, session_start, session_end, n_events).
 

@@ -175,3 +175,54 @@ def test_streaming_sliding_counts_agree_with_batch(spark, tmp_path):
             assert r["baseline"] is None
         else:
             assert abs(r["baseline"] - round(sum(prev) / len(prev), 6)) < 1e-9
+
+
+def test_batch_sliding_counts_brute(spark):
+    from linkgraph.events import sliding_window_counts
+
+    rows = [(0, 1, "view", 1), (14, 2, "view", 1), (16, 1, "buy", 2),
+            (45, 3, "view", 1), (61, 1, "view", 1), (200, 2, "buy", 3)]
+    df = ev(spark, rows)
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in sliding_window_counts(df, minutes=60, slide_minutes=15).collect()
+    }
+    # brute force: event at epoch second es lands in 4 slide-aligned
+    # 60-minute windows starting at (es//900 - i)*900, i in 0..3
+    want: dict[tuple[int, str], int] = {}
+    for m, _u, t, _v in rows:
+        es = int((T0 + dt.timedelta(minutes=m)).replace(
+            tzinfo=dt.timezone.utc).timestamp())
+        for i in range(4):
+            ws = (es // 900 - i) * 900
+            if ws > es - 3600:
+                want[(ws, t)] = want.get((ws, t), 0) + 1
+    assert got == want
+
+
+def test_trending_lift_hand_computed(spark):
+    from linkgraph.events import sliding_window_counts, trending_lift
+
+    # one event type, one event per slide for 4 slides then a burst
+    rows = [(0, 1, "view", 1), (15, 1, "view", 1), (30, 1, "view", 1),
+            (45, 1, "view", 1)] + [(60, u, "view", 1) for u in range(5)]
+    df = ev(spark, rows)
+    out = {
+        r["window_start"]: (r["n_events"], r["baseline"], r["lift"])
+        for r in trending_lift(
+            sliding_window_counts(df, 60, 15), baseline_windows=4
+        ).collect()
+    }
+    starts = sorted(out)
+    # earliest window has NULL baseline/lift (empty trailing frame)
+    assert out[starts[0]][1] is None and out[starts[0]][2] is None
+    es0 = int(T0.replace(tzinfo=dt.timezone.utc).timestamp())
+    # window [60m, 120m) holds exactly the 5 burst events; its trailing
+    # windows start at 0/15/30/45 min covering 4/8/7/6 events -> 6.25
+    n, base, lift = out[es0 + 3600]
+    assert (n, base, lift) == (5, 6.25, 0.8)
+    # window [15m, 75m) covers 3 singles + the burst = 8 events; its
+    # trailing windows (-45/-30/-15/0 min) cover 1/2/3/4 -> mean 2.5
+    n, base, lift = out[es0 + 900]
+    assert (n, base, lift) == (8, 2.5, 3.2)
+    assert lift > 1.0
