@@ -21,9 +21,10 @@ Conventions:
   driver queries in portable-hash mode (dedup/phash.py — exact int64
   arithmetic both engines evaluate identically), so they ARE
   value-checked; the xxhash64/numpy intrinsics stay the scale default.
-  The ONLY rows-only query is `media_features`: its decode stub is a
-  sha256-seeded numpy RNG (no codec libs in this sandbox), which SQL
-  cannot reproduce — its parity lives in tests/test_media.py.
+  Every query has a DuckDB value oracle — including `media_features`,
+  whose codec stub (no image/audio libs in this sandbox) deliberately
+  uses the portable phash congruence family so even the stubbed decode
+  value-checks cross-engine.
 """
 
 from __future__ import annotations
@@ -1166,6 +1167,32 @@ def _poly_sql(expr: str, mult: int, mod: int) -> str:
         f"pi -> ascii(substring({expr}, pi, 1))::BIGINT)), "
         f"(acc, c) -> (acc * {mult} + c) % {mod})"
     )
+
+
+def _media_oracle() -> str:
+    """media_features in DuckDB: rebuild the synthetic media table
+    (sha256 payload — core DuckDB function), poly-hash its hex bytes,
+    then one sig_seeds congruence per dimension. Mirrors
+    multimodal/media.py::synthetic_media + _decode_payload stub
+    literal-for-literal (n=200, dim=16, seed=42)."""
+    from linkgraph.dedup import phash
+
+    seeds = ", ".join(
+        "({}, {}, {})".format(i, *phash.sig_seeds(i)) for i in range(16)
+    )
+    return f"""
+WITH m AS (
+  SELECT r.range::BIGINT AS media_id,
+         CASE ((r.range + 42) % 3) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         sha256('media:42:' || r.range::VARCHAR) AS hex
+  FROM range(200) r),
+h AS (SELECT media_id, kind, {_poly_sql('hex', 31, phash.P1)} AS h0 FROM m),
+seeds AS (SELECT * FROM (VALUES {seeds}) s(i, a, b))
+SELECT media_id, kind, i::INT AS dim_idx,
+       round(((a * h0 + b) % {phash.P1}) / {float(phash.P1)} - 0.5, 6) AS value
+FROM h CROSS JOIN seeds
+"""
 
 
 def _minhash_pipe() -> str:
@@ -2458,6 +2485,10 @@ SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8
         # both engines evaluate identically, so the exact signatures,
         # LSH buckets, and verified pairs reproduce in DuckDB.
         "minhash_pairs": _minhash_oracle(),
+        # media decode is a codec STUB (no image/audio libs in this
+        # sandbox) — but a PORTABLE one (phash congruences over the
+        # payload bytes), so even the stubbed features value-check.
+        "media_features": _media_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "repetition_features": _repetition_oracle(),
         # Induced 2-hop ego subgraphs: BFS ball per root, then edges

@@ -10,14 +10,18 @@ are NOT in this container, so the codec boundary is STUBBED — clearly
 marked below — behind `_decode_payload`, which either raises
 NotImplementedError (`strict=True`) or produces a deterministic fake
 decode derived from the payload bytes (`strict=False`, default for
-tests). Everything around the stub — schema, Arrow batch shape,
-partitioning, UDF signatures, output contracts — is real and tested;
-swapping in a real codec is a one-function change.
+tests). The fake uses the portable integer hash family from
+`linkgraph.dedup.phash` (poly-hash of the payload bytes + one linear
+congruence per dimension), so a SQL engine can reproduce it exactly —
+that is what makes the `media_features` driver row value-checkable
+against DuckDB despite the codec being stubbed. Everything around the
+stub — schema, Arrow batch shape, partitioning, UDF signatures, output
+contracts — is real and tested; swapping in a real codec is a
+one-function change.
 """
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -25,6 +29,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from linkgraph.dedup import phash
+
+# (a_i, b_i) congruence seeds for the 64 stub-decode dimensions —
+# the same family the portable MinHash signatures use.
+_STUB_SEEDS = np.array([phash.sig_seeds(i) for i in range(64)], dtype=np.int64)
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -53,7 +63,9 @@ def synthetic_media(spark: SparkSession, n: int = 100, seed: int = 42) -> DataFr
         .when(kind_idx == 1, "audio/wav")
         .otherwise("video/mp4")
     )
-    payload = F.sha2(F.concat(F.lit(f"media:{seed}:"), F.col("id")), 512).cast("binary")
+    # sha-256 (not 512): DuckDB's core sha256() lets the oracle rebuild
+    # this exact payload, which is what makes media_features value-checkable.
+    payload = F.sha2(F.concat(F.lit(f"media:{seed}:"), F.col("id")), 256).cast("binary")
     return df.select(
         F.col("id").alias("media_id"),
         kind.alias("kind"),
@@ -126,9 +138,16 @@ def _decode_payload(payload: bytes, kind: str, strict: bool) -> np.ndarray:
             f"no codec library available to decode kind={kind!r}; install "
             "Pillow (image) / soundfile (audio) / pyav (video)"
         )
-    digest = hashlib.sha256(bytes(payload)).digest()
-    rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
-    return rng.standard_normal(64)
+    # Portable deterministic fake: poly-hash the payload bytes, then one
+    # phash.sig_seeds congruence per dimension, scaled to [-0.5, 0.5).
+    # Exact int64 arithmetic end-to-end (a,h < P1 so a*h < 1e18 < 2^63),
+    # and v -> v/P1 - 0.5 is the same two IEEE ops in any engine — the
+    # DuckDB oracle in __spark_entry__ reproduces these doubles bitwise.
+    h = 0
+    for byte in bytes(payload):
+        h = (h * 31 + byte) % phash.P1
+    vals = (_STUB_SEEDS[:, 0] * h + _STUB_SEEDS[:, 1]) % phash.P1
+    return vals.astype(np.float64) / float(phash.P1) - 0.5
 # -----------------------------------------------------------------------
 
 
