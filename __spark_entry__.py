@@ -66,6 +66,7 @@ from linkgraph.graph.localcluster import local_cluster
 from linkgraph.graph.linkpred import link_prediction
 from linkgraph.graph.betweenness import betweenness_centrality, edge_betweenness
 from linkgraph.graph.bfs import bfs_distances, closeness_centrality, eccentricity
+from linkgraph.graph.louvain import louvain
 from linkgraph.graph.modularity import community_stats, contract_graph
 from linkgraph.graph.squares import square_count
 from linkgraph.graph.sssp import shortest_paths
@@ -992,6 +993,17 @@ def _q_pii(spark, sf):
     return out.select("doc_id", "n_emails", "n_ipv4", "n_phones", "text_redacted")
 
 
+def _q_louvain(spark, sf):
+    # One level / two parity-gated move rounds on the dense co-purchase
+    # graph: a FIXED round count so the oracle replays the identical
+    # synchronous dynamics (the gain test is exact int64 — see
+    # linkgraph/graph/louvain.py determinism contract).
+    res = louvain(
+        datasets.co_purchase_edges(spark, sf), n_levels=1, rounds_per_level=2
+    )
+    return res.labels
+
+
 def _q_modularity(spark, sf):
     # Modularity decomposition of the connected-component partition of
     # the sparse graph: all edges are internal, so every term is
@@ -1108,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "pii_redaction": _q_pii,
         "community_modularity": _q_modularity,
+        "louvain_communities": _q_louvain,
         "square_count": _q_square_count,
         "eccentricity": _q_eccentricity,
         "media_features": _q_media_features,
@@ -1192,6 +1205,57 @@ seeds AS (SELECT * FROM (VALUES {seeds}) s(i, a, b))
 SELECT media_id, kind, i::INT AS dim_idx,
        round(((a * h0 + b) % {phash.P1}) / {float(phash.P1)} - 0.5, 6) AS value
 FROM h CROSS JOIN seeds
+"""
+
+
+def _louvain_round_sql(i: int) -> str:
+    """One synchronous Louvain move round as chained CTEs: community
+    volumes, neighbor-community weights, the exact-int64 gain2 test,
+    parity gate (src + round) % 2 == 0, argmax by (gain2 desc, label
+    asc). Mirrors linkgraph/graph/louvain.py::_level_rounds."""
+    p = f"l{i}"
+    return f"""
+v{i} AS (SELECT {p}.label, sum(k.k) AS vol FROM {p} JOIN k USING (id)
+         GROUP BY {p}.label),
+kvc{i} AS (SELECT b.src, ln.label AS nlabel, count(*) AS w_to
+           FROM b JOIN {p} ln ON ln.id = b.dst GROUP BY b.src, ln.label),
+tag{i} AS (SELECT kvc{i}.src, kvc{i}.nlabel, kvc{i}.w_to, own.label
+           FROM kvc{i} JOIN {p} own ON own.id = kvc{i}.src),
+kva{i} AS (SELECT src, w_to AS kva FROM tag{i} WHERE nlabel = label),
+cand{i} AS (SELECT t.src, t.nlabel,
+              (SELECT two_m FROM mm) * (t.w_to - coalesce(kv.kva, 0))
+              - k.k * (vc.vol - va.vol + k.k) AS gain2
+            FROM tag{i} t
+            LEFT JOIN kva{i} kv ON kv.src = t.src
+            JOIN v{i} vc ON vc.label = t.nlabel
+            JOIN v{i} va ON va.label = t.label
+            JOIN k ON k.id = t.src
+            WHERE t.nlabel <> t.label),
+win{i} AS (SELECT src AS id, nlabel AS new_label FROM (
+             SELECT src, nlabel,
+                    row_number() OVER (PARTITION BY src
+                      ORDER BY gain2 DESC, nlabel ASC) AS rn
+             FROM cand{i} WHERE gain2 > 0 AND (src + {i}) % 2 = 0) t
+           WHERE rn = 1),
+l{i + 1} AS (SELECT {p}.id, coalesce(w.new_label, {p}.label) AS label
+        FROM {p} LEFT JOIN win{i} w USING (id))"""
+
+
+def _louvain_oracle(rounds: int = 2) -> str:
+    """louvain_communities: replay the fixed-round single-level run of
+    _q_louvain (dense graph, every gain comparison exact int64), then
+    canonicalize labels to the min member id."""
+    body = ",".join(_louvain_round_sql(i) for i in range(rounds))
+    return f"""
+WITH {_E_DENSE},
+b AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+k AS (SELECT src AS id, count(*) AS k FROM b GROUP BY src),
+mm AS (SELECT count(*) * 2 AS two_m FROM e),
+l0 AS (SELECT id, id AS label FROM k),
+{body},
+canon AS (SELECT label, min(id) AS community FROM l{rounds} GROUP BY label)
+SELECT l{rounds}.id, canon.community AS label
+FROM l{rounds} JOIN canon USING (label)
 """
 
 
@@ -2708,6 +2772,10 @@ SELECT pl.label, pl.n_vertices,
 FROM pl LEFT JOIN ie ON ie.label = pl.label CROSS JOIN m
 """,
         # n_squares = sum(cn*(cn-1)) // 4 over wedge-endpoint pairs
+        # Louvain single-level replay: two synchronous move rounds with
+        # the exact-int64 gain2 accept test — chained CTEs generated per
+        # round (the MIS/coloring round-replay pattern).
+        "louvain_communities": _louvain_oracle(rounds=2),
         # (2 per C(cn,2), 2 diagonals per square) — integer-exact.
         "square_count": f"""
 WITH {_E_TRUSS},

@@ -37,6 +37,8 @@ Modes (reference cites in parentheses):
   msf             Boruvka minimum spanning forest; weight = 1.0 unless the
                   input parquet has a weight column (scope extension)
   localcluster    PPR sweep-cut community around --sources seed (scope extension)
+  louvain         multi-level Louvain communities; --k levels, --max-iter
+                  move rounds per level (scope extension)
 
 Input: either a parquet edge table (src, dst) or an edge-list text file
 ("<int><sep><int>" per line, Truss.scala:21-29); detected by extension.
@@ -214,6 +216,14 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
             f"msf: {res.n_edges} edges in {res.rounds} rounds", file=sys.stderr
         )
         return res.forest
+    if args.mode == "louvain":
+        from linkgraph.graph.louvain import louvain
+
+        res = louvain(
+            und, n_levels=max(args.k, 1), rounds_per_level=args.max_iter
+        )
+        print(f"louvain levels: {res.levels}", file=sys.stderr)
+        return res.labels
     if args.mode == "localcluster":
         from linkgraph.graph.localcluster import local_cluster
 

@@ -104,10 +104,13 @@ def contract_graph(
     id_col: str = "id",
     label_col: str = "label",
     keep_self_loops: bool = True,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Contract a labeled graph to its supergraph: one vertex per
     label, edge (label_a <= label_b) weighted by the number of original
     edges between the two groups (self-loop rows = internal edges).
+    With ``weight_col``, n_edges sums that column instead of counting
+    rows — the weighted coarsening Louvain levels need.
 
     The Louvain/coarsening building block the reference lacks: after
     any community pass (LPA, CC, truss components) — or with an
@@ -127,22 +130,25 @@ def contract_graph(
     ld = labels.select(
         F.col(id_col).alias("dst"), F.col(label_col).alias("_ld")
     )
+    wcol = F.col(weight_col) if weight_col else F.lit(1)
     tagged = (
-        edges.select("src", "dst")
+        edges.select("src", "dst", wcol.alias("_w"))
         .join(ls, "src", "left")
         .join(ld, "dst", "left")
         .select(
             F.coalesce("_ls", F.col("src").cast(ltype)).alias("_a"),
             F.coalesce("_ld", F.col("dst").cast(ltype)).alias("_b"),
+            "_w",
         )
     )
     out = (
         tagged.select(
             F.least("_a", "_b").alias("label_a"),
             F.greatest("_a", "_b").alias("label_b"),
+            "_w",
         )
         .groupBy("label_a", "label_b")
-        .agg(F.count(F.lit(1)).alias("n_edges"))
+        .agg(F.sum("_w").alias("n_edges"))
     )
     if not keep_self_loops:
         out = out.where(F.col("label_a") != F.col("label_b"))

@@ -111,3 +111,13 @@ def test_localcluster_mode(spark, mini_txt):
     sw = run(_args("localcluster", mini_txt, sources="1"), spark)
     assert {"pos", "id", "volume", "cut_edges", "conductance"} <= set(sw.columns)
     assert sw.count() > 0
+
+
+def test_louvain_mode(spark, mini_txt):
+    labels = run(_args("louvain", mini_txt, k=2, max_iter=4), spark)
+    rows = labels.collect()
+    assert len(rows) == 10  # one row per trussMini vertex
+    # canonical labels: each community labelled by its min member
+    got = {r["id"]: r["label"] for r in rows}
+    for comm in set(got.values()):
+        assert comm == min(v for v, c in got.items() if c == comm)
