@@ -80,6 +80,7 @@ from linkgraph.graph.mis import maximal_independent_set
 from linkgraph.graph.scc import strongly_connected_components
 from linkgraph.multimodal.media import extract_features, synthetic_media
 from linkgraph.sim.ann import brute_force_topk, ivf_topk
+from linkgraph.dedup.semantic import semantic_dedup_groups
 from linkgraph.sim.kmeans import kmeans
 from linkgraph.dedup.paragraphs import paragraph_dedup
 from linkgraph.text.analysis import language_id, quality_features, token_stats
@@ -425,6 +426,18 @@ def _q_kmeans(spark, sf):
     res = kmeans(datasets.load(spark, sf, "embeddings"), k=4, n_iter=2)
     return res.assignments.select(
         "id", "cluster", F.round("d2", 6).alias("d2")
+    )
+
+
+def _q_semantic_dedup(spark, sf):
+    # SemDeDup groups on the same fixed 2-round k=4 kmeans as
+    # kmeans_clusters; intra-cluster exact-cosine pairs (>= 0.3) closed
+    # into min-id groups (linkgraph/dedup/semantic.py contract).
+    res = semantic_dedup_groups(
+        datasets.load(spark, sf, "embeddings"), k=4, n_iter=2, threshold=0.3
+    )
+    return res.groups.select(
+        "id", "cluster", F.round("d2", 6).alias("d2"), "group_id"
     )
 
 
@@ -1089,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contracted_graph": _q_contracted_graph,
         "hyperball_balls": _q_hyperball,
         "kmeans_clusters": _q_kmeans,
+        "semantic_dedup": _q_semantic_dedup,
         "node2vec_walks": _q_node2vec,
         "local_cluster_sweep": _q_local_cluster,
         "length_percentiles": _q_length_percentiles,
@@ -1157,6 +1171,58 @@ _KMEANS_D2 = (
     " * (e.vec[CAST(di AS INT)] - cvec[CAST(di AS INT)]))), "
     "(acc, x) -> acc + x)"
 )
+
+
+# Two unrolled Lloyd rounds shared by the kmeans_clusters and
+# semantic_dedup oracles: smallest-id init (k=4), exact sequential
+# distance folds, (d2, cid) argmin, empty clusters keep their centroid.
+# Ends with d1 = distances to the round-1 centroids carrying vec.
+_KMEANS_CTE = """
+e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+      FROM embeddings),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid,
+              vec AS cvec
+       FROM (SELECT id, vec FROM e ORDER BY id LIMIT 4)),
+d0 AS (SELECT e.id, c0.cid, e.vec, {d2} AS d2
+       FROM e CROSS JOIN c0),
+a0 AS (SELECT id, cid AS cluster, vec FROM (
+         SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cid)
+                AS rn FROM d0) WHERE rn = 1),
+m1 AS (SELECT cluster, i, avg(val) AS v FROM
+        (SELECT cluster, CAST(i AS INT) AS i, vec[CAST(i AS INT)] AS val
+         FROM a0, generate_series(1, 64) t(i)) GROUP BY cluster, i),
+mc1 AS (SELECT cluster AS cid, list(v ORDER BY i) AS cvec
+        FROM m1 GROUP BY cluster),
+c1 AS (SELECT c0.cid, coalesce(mc1.cvec, c0.cvec) AS cvec
+       FROM c0 LEFT JOIN mc1 ON mc1.cid = c0.cid),
+d1 AS (SELECT e.id, c1.cid, e.vec, {d2} AS d2
+       FROM e CROSS JOIN c1)"""
+
+
+def _semantic_dedup_oracle() -> str:
+    """semantic_dedup: final-round kmeans assignment -> intra-cluster
+    exact-cosine pairs (>= 0.3) -> reach closure (group = min member
+    id, the connected_components convention); unpaired vectors keep
+    themselves. Same closure shape as _dedup_clusters_oracle."""
+    return f"""
+WITH RECURSIVE {_KMEANS_CTE.format(d2=_KMEANS_D2)},
+a1 AS (SELECT id, cid AS cluster, vec, d2 FROM (
+         SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cid)
+                AS rn FROM d1) WHERE rn = 1),
+pr AS (SELECT a.id AS id_a, b.id AS id_b
+       FROM a1 a JOIN a1 b ON a.cluster = b.cluster AND a.id < b.id
+       WHERE list_cosine_similarity(a.vec, b.vec) >= 0.3),
+bb AS (SELECT id_a AS s, id_b AS t FROM pr
+       UNION ALL SELECT id_b AS s, id_a AS t FROM pr),
+reach(id, r) AS (
+  SELECT s, s FROM bb
+  UNION
+  SELECT bb.t, reach.r FROM bb JOIN reach ON reach.id = bb.s),
+lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+SELECT a1.id, a1.cluster, round(a1.d2, 6) AS d2,
+       coalesce(lab.label, a1.id) AS group_id
+FROM a1 LEFT JOIN lab ON lab.id = a1.id
+"""
 
 
 def _hll_mix_sql(x: str, a: int, b: int) -> str:
@@ -2247,30 +2313,12 @@ WHERE CAST(h % 1000000 AS DOUBLE)
         # doubles), so distances are bit-identical and argmin ties
         # break identically. Explicit (a-b)*(a-b), never pow.
         "kmeans_clusters": f"""
-WITH
-e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
-      FROM embeddings),
-c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid,
-              vec AS cvec
-       FROM (SELECT id, vec FROM e ORDER BY id LIMIT 4)),
-d0 AS (SELECT e.id, c0.cid, e.vec, {_KMEANS_D2} AS d2
-       FROM e CROSS JOIN c0),
-a0 AS (SELECT id, cid AS cluster, vec FROM (
-         SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cid)
-                AS rn FROM d0) WHERE rn = 1),
-m1 AS (SELECT cluster, i, avg(val) AS v FROM
-        (SELECT cluster, CAST(i AS INT) AS i, vec[CAST(i AS INT)] AS val
-         FROM a0, generate_series(1, 64) t(i)) GROUP BY cluster, i),
-mc1 AS (SELECT cluster AS cid, list(v ORDER BY i) AS cvec
-        FROM m1 GROUP BY cluster),
-c1 AS (SELECT c0.cid, coalesce(mc1.cvec, c0.cvec) AS cvec
-       FROM c0 LEFT JOIN mc1 ON mc1.cid = c0.cid),
-d1 AS (SELECT e.id, c1.cid, {_KMEANS_D2} AS d2
-       FROM e CROSS JOIN c1)
+WITH {_KMEANS_CTE.format(d2=_KMEANS_D2)}
 SELECT id, cid AS cluster, round(d2, 6) AS d2 FROM (
   SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
   FROM d1) WHERE rn = 1
 """,
+        "semantic_dedup": _semantic_dedup_oracle(),
         # HyperBall sketch replay: unrolled radius-3 ball closure, the
         # same quadratic-scramble register hash, dyadic-exact register
         # sums; only ln() in the small-range branch is transcendental
