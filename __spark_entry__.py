@@ -81,6 +81,7 @@ from linkgraph.graph.scc import strongly_connected_components
 from linkgraph.multimodal.media import extract_features, synthetic_media
 from linkgraph.sim.ann import brute_force_topk, ivf_topk
 from linkgraph.dedup.semantic import semantic_dedup_groups
+from linkgraph.graph.ditriangles import CLASSIFY_SQL, directed_triangle_census
 from linkgraph.sim.kmeans import kmeans
 from linkgraph.dedup.paragraphs import paragraph_dedup
 from linkgraph.text.analysis import language_id, quality_features, token_stats
@@ -427,6 +428,14 @@ def _q_kmeans(spark, sf):
     return res.assignments.select(
         "id", "cluster", F.round("d2", 6).alias("d2")
     )
+
+
+def _q_directed_triangles(spark, sf):
+    # Complete-triad census of the SCC workload's digraph (only F/R
+    # dyads exist there by construction; the M branches are covered by
+    # test_ditriangles). The classifier CASE is shared verbatim with
+    # the oracle (linkgraph/graph/ditriangles.py::CLASSIFY_SQL).
+    return directed_triangle_census(datasets.directed_copurchase(spark, sf))
 
 
 def _q_semantic_dedup(spark, sf):
@@ -1103,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball_balls": _q_hyperball,
         "kmeans_clusters": _q_kmeans,
         "semantic_dedup": _q_semantic_dedup,
+        "directed_triangles": _q_directed_triangles,
         "node2vec_walks": _q_node2vec,
         "local_cluster_sweep": _q_local_cluster,
         "length_percentiles": _q_length_percentiles,
@@ -2319,6 +2329,25 @@ SELECT id, cid AS cluster, round(d2, 6) AS d2 FROM (
   FROM d1) WHERE rn = 1
 """,
         "semantic_dedup": _semantic_dedup_oracle(),
+        # Directed triangle census: the same 3-way sorted-edge join as
+        # the triangles oracle, states from the parity direction rule,
+        # classified by the IDENTICAL CASE expression the Spark plan
+        # compiles (ditriangles.CLASSIFY_SQL).
+        "directed_triangles": f"""
+WITH
+ps AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       WHERE l_quantity >= 46),
+eu AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+       FROM ps a JOIN ps b ON a.ok = b.ok AND a.pk < b.pk),
+st AS (SELECT src AS lo, dst AS hi,
+              CASE WHEN (src + dst) % 2 = 0 THEN 'F' ELSE 'R' END AS s
+       FROM eu),
+tri AS (SELECT ab.lo AS a, ab.hi AS b, ac.hi AS c,
+               ab.s AS s_ab, bc.s AS s_bc, ac.s AS s_ac
+        FROM st ab JOIN st ac ON ac.lo = ab.lo AND ac.hi > ab.hi
+        JOIN st bc ON bc.lo = ab.hi AND bc.hi = ac.hi)
+SELECT a, b, c, {CLASSIFY_SQL} AS ttype FROM tri
+""",
         # HyperBall sketch replay: unrolled radius-3 ball closure, the
         # same quadratic-scramble register hash, dyadic-exact register
         # sums; only ln() in the small-range branch is transcendental
