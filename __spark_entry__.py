@@ -81,6 +81,7 @@ from linkgraph.graph.scc import strongly_connected_components
 from linkgraph.multimodal.media import extract_features, synthetic_media
 from linkgraph.sim.ann import brute_force_topk, ivf_topk
 from linkgraph.dedup.semantic import semantic_dedup_groups
+from linkgraph.graph.approxtri import approx_triangle_count
 from linkgraph.graph.ditriangles import CLASSIFY_SQL, directed_triangle_census
 from linkgraph.sim.kmeans import kmeans
 from linkgraph.dedup.paragraphs import paragraph_dedup
@@ -427,6 +428,15 @@ def _q_kmeans(spark, sf):
     res = kmeans(datasets.load(spark, sf, "embeddings"), k=4, n_iter=2)
     return res.assignments.select(
         "id", "cluster", F.round("d2", 6).alias("d2")
+    )
+
+
+def _q_approx_triangles(spark, sf):
+    # DOULION p=1/2 on the dense graph, seed 1: the coin is the exact
+    # int64 quadratic scramble, so sample/count/estimate are
+    # bit-identical cross-engine (graph/approxtri.py).
+    return approx_triangle_count(
+        datasets.co_purchase_edges(spark, sf), num=1, den=2, seed=1
     )
 
 
@@ -1113,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": _q_kmeans,
         "semantic_dedup": _q_semantic_dedup,
         "directed_triangles": _q_directed_triangles,
+        "approx_triangles": _q_approx_triangles,
         "node2vec_walks": _q_node2vec,
         "local_cluster_sweep": _q_local_cluster,
         "length_percentiles": _q_length_percentiles,
@@ -1232,6 +1243,29 @@ lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
 SELECT a1.id, a1.cluster, round(a1.d2, 6) AS d2,
        coalesce(lab.label, a1.id) AS group_id
 FROM a1 LEFT JOIN lab ON lab.id = a1.id
+"""
+
+
+def _doulion_oracle(num: int, den: int, seed: int) -> str:
+    """approx_triangles: replay graph/approxtri.py's deterministic coin
+    ((h0^2 + a) % P1, h0 = ((src%P1)*1000003 + dst%P1 + a) % P1) on the
+    dense undirected edges, count sample triangles, scale by (den/num)^3."""
+    from linkgraph.dedup.phash import P1 as _P1
+
+    a = (2_654_435_761 * (seed + 1)) % _P1 or 1
+    h0 = f"(((src % {_P1}) * 1000003 + dst % {_P1} + {a}) % {_P1})"
+    coin = f"(({h0} * {h0} + {a}) % {_P1}) % {den} < {num}"
+    scale = float(den) ** 3 / float(num) ** 3
+    return f"""
+WITH {_E_DENSE},
+s AS (SELECT src, dst FROM e WHERE {coin}),
+tri AS (SELECT count(*) AS sampled_triangles
+        FROM s ab JOIN s ac ON ac.src = ab.src AND ac.dst > ab.dst
+        JOIN s bc ON bc.src = ab.dst AND bc.dst = ac.dst)
+SELECT (SELECT count(*) FROM s) AS sampled_edges,
+       sampled_triangles,
+       sampled_triangles * {scale} AS est_triangles
+FROM tri
 """
 
 
@@ -2329,6 +2363,11 @@ SELECT id, cid AS cluster, round(d2, 6) AS d2 FROM (
   FROM d1) WHERE rn = 1
 """,
         "semantic_dedup": _semantic_dedup_oracle(),
+        # DOULION p=1/2: the identical quadratic-scramble coin (exact
+        # int64 mod-P1 arithmetic) selects the identical edge sample;
+        # the sampled count comes from the same 3-way sorted-edge join
+        # as the exact triangle oracles; est = count * 8.0.
+        "approx_triangles": _doulion_oracle(num=1, den=2, seed=1),
         # Directed triangle census: the same 3-way sorted-edge join as
         # the triangles oracle, states from the parity direction rule,
         # classified by the IDENTICAL CASE expression the Spark plan
