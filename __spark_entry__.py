@@ -82,6 +82,7 @@ from linkgraph.multimodal.media import extract_features, synthetic_media
 from linkgraph.sim.ann import brute_force_topk, ivf_topk
 from linkgraph.dedup.semantic import semantic_dedup_groups
 from linkgraph.graph.approxtri import approx_triangle_count
+from linkgraph.graph.partcmp import partition_agreement
 from linkgraph.graph.ditriangles import CLASSIFY_SQL, directed_triangle_census
 from linkgraph.sim.kmeans import kmeans
 from linkgraph.dedup.paragraphs import paragraph_dedup
@@ -428,6 +429,18 @@ def _q_kmeans(spark, sf):
     res = kmeans(datasets.load(spark, sf, "embeddings"), k=4, n_iter=2)
     return res.assignments.select(
         "id", "cluster", F.round("d2", 6).alias("d2")
+    )
+
+
+def _q_partition_ari(spark, sf):
+    # Agreement between the LPA communities and the connected
+    # components of the same sparse graph (LPA refines CC, so ARI/NMI
+    # land strictly inside (0, 1) unless they coincide).
+    edges = datasets.sparse_edges(spark, sf)
+    lpa = label_propagation(edges, max_iter=20).labels
+    cc = connected_components(edges)
+    return partition_agreement(lpa, cc).select(
+        "n", F.round("ari", 6).alias("ari"), F.round("nmi", 6).alias("nmi")
     )
 
 
@@ -1124,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "directed_triangles": _q_directed_triangles,
         "approx_triangles": _q_approx_triangles,
+        "partition_ari": _q_partition_ari,
         "node2vec_walks": _q_node2vec,
         "local_cluster_sweep": _q_local_cluster,
         "length_percentiles": _q_length_percentiles,
@@ -1243,6 +1257,80 @@ lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
 SELECT a1.id, a1.cluster, round(a1.d2, 6) AS d2,
        coalesce(lab.label, a1.id) AS group_id
 FROM a1 LEFT JOIN lab ON lab.id = a1.id
+"""
+
+
+# LPA round replay over the sparse bidirected edges `b` (20 capped
+# rounds, majority vote with min-label ties, period-1/2 fixpoint
+# canonicalized by least(label, prev label)) — shared by the
+# label_propagation and partition_ari oracles; ends in lpa_final(id,
+# label). Requires WITH RECURSIVE and the _E_SPARSE CTEs in scope.
+_LPA_BODY = """lp(it, id, label) AS (
+  SELECT 0, src, src FROM (SELECT DISTINCT src FROM b) t(src)
+  UNION ALL
+  SELECT it + 1, id, label FROM (
+    SELECT it, b.src AS id, lp.label AS label,
+           row_number() OVER (PARTITION BY it, b.src
+                              ORDER BY count(*) DESC, lp.label ASC) AS rn
+    FROM lp JOIN b ON lp.id = b.dst
+    WHERE it < 20
+    GROUP BY it, b.src, lp.label) WHERE rn = 1),
+mism AS (
+  SELECT a.it AS t,
+         count(*) FILTER (WHERE a.label != b1.label) AS d1,
+         count(*) FILTER (WHERE b2.label IS NULL OR a.label != b2.label) AS d2
+  FROM lp a
+  JOIN lp b1 ON b1.id = a.id AND b1.it = a.it - 1
+  LEFT JOIN lp b2 ON b2.id = a.id AND b2.it = a.it - 2
+  WHERE a.it >= 1
+  GROUP BY a.it),
+tstar AS (SELECT min(t) AS t FROM mism WHERE d1 = 0 OR d2 = 0),
+lpa_final AS (
+  SELECT a.id,
+         CASE WHEN (SELECT t FROM tstar) IS NULL THEN a.label
+              ELSE least(a.label, p.label) END AS label
+  FROM lp a
+  JOIN lp p ON p.id = a.id
+           AND p.it = (SELECT coalesce(t, 20) FROM tstar) - 1
+  WHERE a.it = (SELECT coalesce(t, 20) FROM tstar))"""
+
+
+def _partition_ari_oracle() -> str:
+    """partition_ari: ARI/NMI between the LPA replay and the CC reach
+    closure on the same sparse graph — integer contingency/marginal/
+    pair sums, double only in the final expressions (partcmp.py
+    conventions; round(6) absorbs summation order)."""
+    return f"""
+WITH RECURSIVE {_E_SPARSE}, {_LPA_BODY},
+reach(id, r) AS (
+  SELECT src, src FROM b
+  UNION
+  SELECT b.dst, reach.r FROM b JOIN reach ON reach.id = b.src),
+cc AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+cell AS (SELECT l.label AS la, c.label AS lb, count(*) AS nij
+         FROM lpa_final l JOIN cc c ON c.id = l.id GROUP BY 1, 2),
+ma AS (SELECT la, sum(nij) AS ai FROM cell GROUP BY la),
+mb AS (SELECT lb, sum(nij) AS bj FROM cell GROUP BY lb),
+tot AS (SELECT sum(nij) AS n, sum(nij * (nij - 1)) AS sij2 FROM cell),
+sab AS (SELECT (SELECT sum(ai * (ai - 1)) FROM ma) AS sa2,
+               (SELECT sum(bj * (bj - 1)) FROM mb) AS sb2),
+ent AS (SELECT
+  (SELECT sum((nij / tot.n) * ln(tot.n * nij / (ai * bj)))
+     FROM cell JOIN ma USING (la) JOIN mb USING (lb), tot) AS mi,
+  (SELECT -sum((ai / tot.n) * ln(ai / tot.n)) FROM ma, tot) AS ha,
+  (SELECT -sum((bj / tot.n) * ln(bj / tot.n)) FROM mb, tot) AS hb)
+SELECT n,
+  round(CASE
+    WHEN n * (n - 1) / 2.0 = 0 THEN 1.0
+    WHEN (sa2 / 2.0 + sb2 / 2.0) / 2.0
+         - (sa2 / 2.0) * (sb2 / 2.0) / (n * (n - 1) / 2.0) = 0 THEN 1.0
+    ELSE (sij2 / 2.0 - (sa2 / 2.0) * (sb2 / 2.0) / (n * (n - 1) / 2.0))
+         / ((sa2 / 2.0 + sb2 / 2.0) / 2.0
+            - (sa2 / 2.0) * (sb2 / 2.0) / (n * (n - 1) / 2.0)) END, 6) AS ari,
+  round(CASE WHEN ha = 0 AND hb = 0 THEN 1.0
+             WHEN ha = 0 OR hb = 0 THEN 0.0
+             ELSE mi / sqrt(ha * hb) END, 6) AS nmi
+FROM tot, sab, ent
 """
 
 
@@ -2093,34 +2181,8 @@ SELECT id, CAST(max(d) AS BIGINT) AS layer FROM walk, lchk GROUP BY id
         # state(t) in the fixpoint case. Without detection inside 20
         # rounds the output is state(20) (the loop's max_iter).
         "label_propagation": f"""
-WITH RECURSIVE {_E_SPARSE},
-lp(it, id, label) AS (
-  SELECT 0, src, src FROM (SELECT DISTINCT src FROM b) t(src)
-  UNION ALL
-  SELECT it + 1, id, label FROM (
-    SELECT it, b.src AS id, lp.label AS label,
-           row_number() OVER (PARTITION BY it, b.src
-                              ORDER BY count(*) DESC, lp.label ASC) AS rn
-    FROM lp JOIN b ON lp.id = b.dst
-    WHERE it < 20
-    GROUP BY it, b.src, lp.label) WHERE rn = 1),
-mism AS (
-  SELECT a.it AS t,
-         count(*) FILTER (WHERE a.label != b1.label) AS d1,
-         count(*) FILTER (WHERE b2.label IS NULL OR a.label != b2.label) AS d2
-  FROM lp a
-  JOIN lp b1 ON b1.id = a.id AND b1.it = a.it - 1
-  LEFT JOIN lp b2 ON b2.id = a.id AND b2.it = a.it - 2
-  WHERE a.it >= 1
-  GROUP BY a.it),
-tstar AS (SELECT min(t) AS t FROM mism WHERE d1 = 0 OR d2 = 0)
-SELECT a.id,
-       CASE WHEN (SELECT t FROM tstar) IS NULL THEN a.label
-            ELSE least(a.label, p.label) END AS label
-FROM lp a
-JOIN lp p ON p.id = a.id
-         AND p.it = (SELECT coalesce(t, 20) FROM tstar) - 1
-WHERE a.it = (SELECT coalesce(t, 20) FROM tstar)
+WITH RECURSIVE {_E_SPARSE}, {_LPA_BODY}
+SELECT id, label FROM lpa_final
 """,
         "ktruss_4": f"""
 WITH RECURSIVE {_E_TRUSS}, {_peel_cte('2')}, {_PEEL_CHK}
@@ -2368,6 +2430,9 @@ SELECT id, cid AS cluster, round(d2, 6) AS d2 FROM (
         # the sampled count comes from the same 3-way sorted-edge join
         # as the exact triangle oracles; est = count * 8.0.
         "approx_triangles": _doulion_oracle(num=1, den=2, seed=1),
+        # ARI/NMI between the LPA replay and the CC closure (shared
+        # _LPA_BODY; integer pair sums, double finals, round(6)).
+        "partition_ari": _partition_ari_oracle(),
         # Directed triangle census: the same 3-way sorted-edge join as
         # the triangles oracle, states from the parity direction rule,
         # classified by the IDENTICAL CASE expression the Spark plan
