@@ -94,7 +94,7 @@ from linkgraph.text.pmi import pmi_pairs
 from linkgraph.text.stats import corpus_stats, length_percentiles, term_frequencies
 from linkgraph.text.tfidf import tfidf_top_terms
 from linkgraph.text.decontam import ngram_contamination
-from linkgraph.sampling import hash_sample, weighted_sample
+from linkgraph.sampling import hash_sample, temperature_mix, weighted_sample
 
 # --------------------------------------------------------------------------
 # shared SQL prelude fragments (DuckDB side)
@@ -430,6 +430,16 @@ def _q_kmeans(spark, sf):
     return res.assignments.select(
         "id", "cluster", F.round("d2", 6).alias("d2")
     )
+
+
+def _q_temperature_mix(spark, sf):
+    # alpha=0.5 language mixing over documents (keep-smallest-intact
+    # rates; portable avalanche buckets — sampling.py::temperature_mix).
+    kept = temperature_mix(
+        datasets.load(spark, sf, "documents"),
+        "lang", "doc_id", alpha=0.5, portable=True,
+    )
+    return kept.select("doc_id", "lang")
 
 
 def _q_partition_ari(spark, sf):
@@ -1138,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "directed_triangles": _q_directed_triangles,
         "approx_triangles": _q_approx_triangles,
         "partition_ari": _q_partition_ari,
+        "temperature_mix": _q_temperature_mix,
         "node2vec_walks": _q_node2vec,
         "local_cluster_sweep": _q_local_cluster,
         "length_percentiles": _q_length_percentiles,
@@ -2413,6 +2424,23 @@ h2 AS (SELECT doc_id, n_chars, (h * h + {0x85EBCA6B}) % 1000000007 AS h FROM h1)
 SELECT doc_id FROM h2
 WHERE CAST(h % 1000000 AS DOUBLE)
       < least(1000000.0, (n_chars / 2000.0) * 1000000.0)
+""",
+        # temperature mixing: per-lang keep rate (n/n_min)^(alpha-1),
+        # same ':mix'-salted avalanche chain as hash/weighted_sample.
+        "temperature_mix": f"""
+WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+rt AS (SELECT lang,
+              pow(CAST(n AS DOUBLE) / (SELECT min(n) FROM cnt), -0.5)
+                * 1000000.0 AS cut
+       FROM cnt),
+h0 AS (SELECT doc_id, lang,
+  ({_poly_sql("concat(CAST(doc_id AS VARCHAR), ':mix')", 31, 1_000_000_007)}) AS h
+  FROM documents),
+h1 AS (SELECT doc_id, lang, (h * h + {0x9E3779B9}) % 1000000007 AS h FROM h0),
+h2 AS (SELECT doc_id, lang, (h * h + {0x85EBCA6B}) % 1000000007 AS h FROM h1)
+SELECT h2.doc_id, h2.lang
+FROM h2 JOIN rt ON rt.lang = h2.lang
+WHERE CAST(h % 1000000 AS DOUBLE) < rt.cut
 """,
         # Two unrolled Lloyd rounds; the distance is the SAME sequential
         # per-dimension fold as the Spark plan (list_reduce over

@@ -128,3 +128,56 @@ def weighted_sample(
     return df.where(
         _bucket(F.col(key_col), salt, portable).cast("double") < cut
     )
+
+
+def mixing_rates(
+    df: DataFrame, group_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """(group, n, rate): per-group keep rates for temperature mixing.
+
+    Temperature-scaled data mixing (the multilingual-LM convention —
+    Conneau & Lample 2019, mT5): sample groups proportionally to
+    p_g^alpha instead of their natural share p_g, damping dominant
+    domains/languages. Realized as a per-row KEEP probability
+    ``rate_g = (n_g / n_min)^(alpha-1)`` — the smallest group is kept
+    in full (rate 1) and larger groups are downsampled so expected
+    group sizes are proportional to n_g^alpha; a filter cannot
+    upsample, so this is the keep-the-smallest-intact normalization.
+    ``alpha = 1`` keeps everything; ``alpha = 0`` equalizes expected
+    group sizes. Plan: one map-side-combinable count aggregate plus a
+    1-row min — the corpus itself is not touched.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    nmin = counts.agg(F.min("n").alias("n_min"))
+    return counts.crossJoin(F.broadcast(nmin)).select(
+        group_col,
+        "n",
+        F.pow(F.col("n").cast("double") / F.col("n_min"), F.lit(alpha - 1.0))
+        .alias("rate"),
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    salt: str = "mix",
+    portable: bool = False,
+) -> DataFrame:
+    """The temperature-mixed corpus: deterministic per-key keep with
+    the group's :func:`mixing_rates` rate — same avalanche-bucket
+    filter as `hash_sample`, with the cut looked up via one broadcast
+    join on the (bounded) group-rate table. All input columns kept.
+    """
+    rates = mixing_rates(df, group_col, alpha=alpha).select(
+        group_col, (F.col("rate") * _BUCKETS).alias("_cut")
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .where(_bucket(F.col(key_col), salt, portable).cast("double")
+               < F.col("_cut"))
+        .drop("_cut")
+    )
