@@ -53,7 +53,7 @@ from linkgraph.dedup.ngram import ngram_jaccard_pairs
 from linkgraph.dedup.simhash import simhash_near_duplicates
 from linkgraph.graph import edges as E
 from linkgraph.graph.components import component_of_edges, connected_components
-from linkgraph.graph.labelprop import label_propagation
+from linkgraph.graph.labelprop import label_propagation, seeded_label_propagation
 from linkgraph.graph.pagerank import pagerank
 from linkgraph.graph.triangles import clustering_coefficient, edge_support, triangles
 from linkgraph.graph.kcore import k_core
@@ -430,6 +430,20 @@ def _q_kmeans(spark, sf):
     return res.assignments.select(
         "id", "cluster", F.round("d2", 6).alias("d2")
     )
+
+
+def _q_seeded_lpa(spark, sf):
+    # Semi-supervised propagation on the sparse graph: seeds = every
+    # 50th part id labeled with itself, 4 fixed rounds (labelprop.py::
+    # seeded_label_propagation contract); unreached vertices stay NULL.
+    edges = datasets.sparse_edges(spark, sf)
+    verts = edges.select(F.col("src").alias("id")).unionByName(
+        edges.select(F.col("dst").alias("id"))
+    ).distinct()
+    seeds = verts.where(F.col("id") % 50 == 0).select(
+        "id", F.col("id").alias("label")
+    )
+    return seeded_label_propagation(edges, seeds, n_rounds=4)
 
 
 def _q_temperature_mix(spark, sf):
@@ -1149,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_triangles": _q_approx_triangles,
         "partition_ari": _q_partition_ari,
         "temperature_mix": _q_temperature_mix,
+        "seeded_lpa": _q_seeded_lpa,
         "node2vec_walks": _q_node2vec,
         "local_cluster_sweep": _q_local_cluster,
         "length_percentiles": _q_length_percentiles,
@@ -1304,6 +1319,32 @@ lpa_final AS (
   JOIN lp p ON p.id = a.id
            AND p.it = (SELECT coalesce(t, 20) FROM tstar) - 1
   WHERE a.it = (SELECT coalesce(t, 20) FROM tstar))"""
+
+
+def _seeded_lpa_oracle(rounds: int = 4) -> str:
+    """seeded_lpa: chained per-round CTEs (the louvain/MIS replay
+    pattern) — labeled-neighbor majority vote with (n desc, label asc)
+    ties, seeds pinned, NULL until reached."""
+    body = []
+    for i in range(rounds):
+        body.append(f"""
+w{i} AS (SELECT b.src AS id, l.label AS nl, count(*) AS n
+         FROM b JOIN s{i} l ON l.id = b.dst WHERE l.label IS NOT NULL
+         GROUP BY b.src, l.label),
+win{i} AS (SELECT id, nl FROM (
+             SELECT id, nl, row_number() OVER (PARTITION BY id
+                    ORDER BY n DESC, nl ASC) AS rn FROM w{i}) WHERE rn = 1),
+s{i + 1} AS (SELECT s.id,
+               CASE WHEN s.id % 50 = 0 THEN s.label
+                    ELSE coalesce(w.nl, s.label) END AS label
+             FROM s{i} s LEFT JOIN win{i} w ON w.id = s.id)""")
+    return f"""
+WITH {_E_SPARSE},
+v AS (SELECT DISTINCT src AS id FROM b),
+s0 AS (SELECT id, CASE WHEN id % 50 = 0 THEN id END AS label FROM v),
+{",".join(body)}
+SELECT id, label FROM s{rounds}
+"""
 
 
 def _partition_ari_oracle() -> str:
@@ -2461,6 +2502,7 @@ SELECT id, cid AS cluster, round(d2, 6) AS d2 FROM (
         # ARI/NMI between the LPA replay and the CC closure (shared
         # _LPA_BODY; integer pair sums, double finals, round(6)).
         "partition_ari": _partition_ari_oracle(),
+        "seeded_lpa": _seeded_lpa_oracle(rounds=4),
         # Directed triangle census: the same 3-way sorted-edge join as
         # the triangles oracle, states from the parity direction rule,
         # classified by the IDENTICAL CASE expression the Spark plan

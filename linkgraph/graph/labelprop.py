@@ -225,3 +225,70 @@ def label_propagation(
         counters=counters,
         oscillating=oscillating,
     )
+
+
+def seeded_label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_rounds: int = 4,
+) -> DataFrame:
+    """Semi-supervised label propagation: fixed seed labels spread to
+    unlabeled vertices (Zhu & Ghahramani 2002, hard-label variant).
+
+    ``seeds``: (id, label) — these vertices keep their label forever.
+    Every other vertex starts unlabeled (NULL) and, each synchronous
+    round, adopts the most frequent label among its LABELED neighbors
+    (ties by minimum label), carrying its previous label when no
+    neighbor is labeled yet. Exactly ``n_rounds`` rounds — the
+    fixed-round oracle contract (katz/eigenvector style), so the
+    result is a pure function of (edges, seeds, n_rounds); vertices
+    further than n_rounds hops from every seed stay NULL.
+
+    Per round: one O(E) join+vote aggregate and one left join — the
+    plain-LPA superstep shape minus the delta/oscillation machinery
+    (labels here can only flip between CONCRETE labels while
+    information flows; the fixed round count bounds that). Returns
+    (id, label) with label nullable.
+    """
+    adj = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    adj = adj.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    sd = seeds.select(
+        F.col("id").alias("id"), F.col("label").alias("seed_label")
+    )
+    labels = (
+        adj.select(F.col("src").alias("id"))
+        .distinct()
+        .join(sd, "id", "left_outer")
+        .select("id", F.col("seed_label").alias("label"),
+                F.col("seed_label").isNotNull().alias("is_seed"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_rounds):
+        lab = labels.where(F.col("label").isNotNull()).select(
+            F.col("id").alias("dst"), F.col("label").alias("nl")
+        )
+        votes = (
+            adj.join(lab, "dst")
+            .groupBy(F.col("src").alias("id"), "nl")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        winner = (
+            votes.groupBy("id")
+            .agg(F.max(F.struct("n", (-F.col("nl")).alias("neg"))).alias("w"))
+            .select("id", (-F.col("w.neg")).alias("new_label"))
+        )
+        labels = (
+            labels.join(winner, "id", "left_outer")
+            .select(
+                "id",
+                F.when(F.col("is_seed"), F.col("label"))
+                .otherwise(F.coalesce("new_label", "label"))
+                .alias("label"),
+                "is_seed",
+            )
+            .localCheckpoint(eager=True)
+        )
+    adj.unpersist()
+    return labels.select("id", "label")

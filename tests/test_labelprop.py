@@ -94,3 +94,85 @@ def test_converging_graphs_unaffected_by_period2_rule(spark):
     res = label_propagation(canonicalize(complete_graph(spark, 6)))
     assert not res.oscillating and res.changed == 0
     assert all(c["changed_vs_2_rounds_ago"] is not None for c in res.counters)
+
+
+# ------------------------------------------------- seeded variant --
+def _py_seeded(pairs, seeds, n_rounds):
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    labels = {v: seeds.get(v) for v in adj}
+    for _ in range(n_rounds):
+        new = dict(labels)
+        for v in adj:
+            if v in seeds:
+                continue
+            votes = collections.Counter(
+                labels[u] for u in adj[v] if labels[u] is not None
+            )
+            if votes:
+                best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[v] = best[0]
+        labels = new
+    return labels
+
+
+def test_seeded_replay_parity(spark):
+    import random
+
+    from linkgraph.graph.edges import canonicalize
+    from linkgraph.graph.labelprop import seeded_label_propagation
+
+    rng = random.Random(17)
+    pairs = sorted({tuple(sorted(rng.sample(range(80), 2))) for _ in range(200)})
+    seeds = {3: 100, 11: 200, 42: 300}
+    sdf = spark.createDataFrame(list(seeds.items()), "id long, label long")
+    got = {
+        r["id"]: r["label"]
+        for r in seeded_label_propagation(
+            canonicalize(edge_df(spark, pairs)), sdf, n_rounds=3
+        ).collect()
+    }
+    want = _py_seeded(pairs, seeds, 3)
+    assert got == want
+    assert any(v is None for v in got.values()) or all(
+        v is not None for v in got.values()
+    )
+
+
+def test_seeded_two_cliques(spark):
+    from linkgraph.graph.edges import canonicalize
+    from linkgraph.graph.labelprop import seeded_label_propagation
+
+    k5a = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    k5b = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+    pairs = k5a + k5b + [(4, 10)]
+    sdf = spark.createDataFrame([(0, 111), (14, 222)], "id long, label long")
+    got = {
+        r["id"]: r["label"]
+        for r in seeded_label_propagation(
+            canonicalize(edge_df(spark, pairs)), sdf, n_rounds=4
+        ).collect()
+    }
+    assert all(got[v] == 111 for v in range(5))
+    assert all(got[v] == 222 for v in range(10, 15))
+    # seeds never flip even when outvoted by the other clique's labels
+    assert got[0] == 111 and got[14] == 222
+
+
+def test_seeded_unreached_stay_null(spark):
+    from linkgraph.graph.edges import canonicalize
+    from linkgraph.graph.labelprop import seeded_label_propagation
+
+    pairs = [(0, 1), (2, 3)]  # two components, one seeded
+    sdf = spark.createDataFrame([(0, 9)], "id long, label long")
+    got = {
+        r["id"]: r["label"]
+        for r in seeded_label_propagation(
+            canonicalize(edge_df(spark, pairs)), sdf, n_rounds=5
+        ).collect()
+    }
+    assert got == {0: 9, 1: 9, 2: None, 3: None}
