@@ -47,7 +47,12 @@ def partition_agreement(
     a: DataFrame, b: DataFrame, id_col: str = "id", label_col: str = "label"
 ) -> DataFrame:
     """One row: (n, ari, nmi) for the two labelings' common ids."""
-    cell = contingency_table(a, b, id_col=id_col, label_col=label_col)
+    # One materialization: the cell table is bounded (≤ #clusters_a ×
+    # #clusters_b rows) and feeds SIX downstream aggregates — without
+    # the checkpoint each 1-row branch would recompute the O(V) id join.
+    cell = contingency_table(
+        a, b, id_col=id_col, label_col=label_col
+    ).localCheckpoint(eager=True)
     ma = cell.groupBy("label_a").agg(F.sum("n").alias("ai"))
     mb = cell.groupBy("label_b").agg(F.sum("n").alias("bj"))
 
