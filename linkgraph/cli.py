@@ -39,6 +39,9 @@ Modes (reference cites in parentheses):
   localcluster    PPR sweep-cut community around --sources seed (scope extension)
   louvain         multi-level Louvain communities; --k levels, --max-iter
                   move rounds per level (scope extension)
+  dicensus        directed triangle census of the raw digraph (scope extension)
+  approxtri       DOULION sampled triangle estimate; --k = denominator of
+                  the keep probability 1/k (scope extension)
 
 Input: either a parquet edge table (src, dst) or an edge-list text file
 ("<int><sep><int>" per line, Truss.scala:21-29); detected by extension.
@@ -224,6 +227,14 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         )
         print(f"louvain levels: {res.levels}", file=sys.stderr)
         return res.labels
+    if args.mode == "dicensus":
+        from linkgraph.graph.ditriangles import directed_triangle_counts
+
+        return directed_triangle_counts(raw)
+    if args.mode == "approxtri":
+        from linkgraph.graph.approxtri import approx_triangle_count
+
+        return approx_triangle_count(und, num=1, den=max(args.k, 1))
     if args.mode == "localcluster":
         from linkgraph.graph.localcluster import local_cluster
 

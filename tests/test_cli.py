@@ -121,3 +121,21 @@ def test_louvain_mode(spark, mini_txt):
     got = {r["id"]: r["label"] for r in rows}
     for comm in set(got.values()):
         assert comm == min(v for v, c in got.items() if c == comm)
+
+
+def test_dicensus_mode(spark, mini_txt):
+    out = run(_args("dicensus", mini_txt), spark)
+    rows = {r["ttype"]: r["n_triangles"] for r in out.collect()}
+    assert sum(rows.values()) == 22  # trussMini triangle count
+    assert set(rows) <= {
+        "cyclic", "transitive", "one_mutual_source", "one_mutual_sink",
+        "one_mutual_flow", "two_mutual", "all_mutual",
+    }
+
+
+def test_approxtri_mode(spark, mini_txt):
+    exact = run(_args("approxtri", mini_txt, k=1), spark).collect()[0]
+    assert exact["sampled_triangles"] == exact["est_triangles"] == 22
+    sampled = run(_args("approxtri", mini_txt, k=2), spark).collect()[0]
+    assert sampled["sampled_edges"] < exact["sampled_edges"]
+    assert sampled["est_triangles"] == sampled["sampled_triangles"] * 8.0
