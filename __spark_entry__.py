@@ -85,6 +85,7 @@ from linkgraph.graph.approxtri import approx_triangle_count
 from linkgraph.graph.partcmp import partition_agreement
 from linkgraph.graph.ditriangles import CLASSIFY_SQL, directed_triangle_census
 from linkgraph.sim.kmeans import kmeans
+from linkgraph.sim.pca import embedding_covariance, pca_top_component
 from linkgraph.dedup.paragraphs import paragraph_dedup
 from linkgraph.text.analysis import language_id, quality_features, token_stats
 from linkgraph.text.c4 import c4_filters
@@ -429,6 +430,27 @@ def _q_kmeans(spark, sf):
     res = kmeans(datasets.load(spark, sf, "embeddings"), k=4, n_iter=2)
     return res.assignments.select(
         "id", "cluster", F.round("d2", 6).alias("d2")
+    )
+
+
+def _q_pca_covariance(spark, sf):
+    # Upper-triangle sample covariance of the embedding table: the
+    # distributed Gram kernel (mapInPandas BLAS partials) vs DuckDB's
+    # covar_samp — round(6) absorbs batch-order ulp drift (pca.py
+    # module docstring contract).
+    emb = datasets.load(spark, sf, "embeddings")
+    return embedding_covariance(emb).select(
+        "i", "j", F.round("cov", 6).alias("cov")
+    )
+
+
+def _q_pca_component(spark, sf):
+    # Leading principal direction after exactly 3 power-iteration
+    # rounds from the uniform start (fixed-round oracle contract;
+    # sign fixed at the largest-|loading| dim).
+    emb = datasets.load(spark, sf, "embeddings")
+    return pca_top_component(emb, n_rounds=3).select(
+        "dim", F.round("loading", 6).alias("loading")
     )
 
 
@@ -1158,6 +1180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contracted_graph": _q_contracted_graph,
         "hyperball_balls": _q_hyperball,
         "kmeans_clusters": _q_kmeans,
+        "pca_covariance": _q_pca_covariance,
+        "pca_component": _q_pca_component,
         "semantic_dedup": _q_semantic_dedup,
         "directed_triangles": _q_directed_triangles,
         "approx_triangles": _q_approx_triangles,
@@ -2492,6 +2516,41 @@ WITH {_KMEANS_CTE.format(d2=_KMEANS_D2)}
 SELECT id, cid AS cluster, round(d2, 6) AS d2 FROM (
   SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
   FROM d1) WHERE rn = 1
+""",
+        # Distributed Gram-kernel covariance vs covar_samp: round(6)
+        # absorbs the (G - n·mu·mu)/(n-1) vs streaming-covariance ulp
+        # gap and the Arrow-batch partial-sum order (verified 0
+        # mismatches on 2080 rows at sf0.01).
+        "pca_covariance": """
+WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                  unnest(CAST(embedding AS DOUBLE[])) AS val FROM embeddings)
+SELECT a.i AS i, b.i AS j, round(covar_samp(a.val, b.val), 6) AS cov
+FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+""",
+        # 3 unrolled power-iteration rounds over the covar_samp matrix
+        # from the uniform 1/sqrt(d) start; L2-normalized per round,
+        # sign fixed at the largest-|loading| dim (first dim on ties —
+        # same convention as np.argmax in pca._fix_sign).
+        "pca_component": """
+WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                  unnest(CAST(embedding AS DOUBLE[])) AS val FROM embeddings),
+cov AS (SELECT a.i AS i, b.i AS j, covar_samp(a.val, b.val) AS c
+        FROM v a JOIN v b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+d AS (SELECT count(DISTINCT i) AS n FROM v),
+v0 AS (SELECT DISTINCT i AS dim, 1.0 / sqrt((SELECT n FROM d)) AS x FROM v),
+w1 AS (SELECT cov.i AS dim, sum(cov.c * v0.x) AS x
+       FROM cov JOIN v0 ON v0.dim = cov.j GROUP BY 1),
+v1 AS (SELECT dim, x / sqrt(sum(x * x) OVER ()) AS x FROM w1),
+w2 AS (SELECT cov.i AS dim, sum(cov.c * v1.x) AS x
+       FROM cov JOIN v1 ON v1.dim = cov.j GROUP BY 1),
+v2 AS (SELECT dim, x / sqrt(sum(x * x) OVER ()) AS x FROM w2),
+w3 AS (SELECT cov.i AS dim, sum(cov.c * v2.x) AS x
+       FROM cov JOIN v2 ON v2.dim = cov.j GROUP BY 1),
+v3 AS (SELECT dim, x / sqrt(sum(x * x) OVER ()) AS x FROM w3),
+sgn AS (SELECT CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END AS s
+        FROM v3 ORDER BY abs(x) DESC, dim ASC LIMIT 1)
+SELECT dim, round(x * (SELECT s FROM sgn), 6) AS loading FROM v3
 """,
         "semantic_dedup": _semantic_dedup_oracle(),
         # DOULION p=1/2: the identical quadratic-scramble coin (exact
