@@ -95,6 +95,7 @@ from linkgraph.text.pmi import pmi_pairs
 from linkgraph.text.stats import corpus_stats, length_percentiles, term_frequencies
 from linkgraph.text.tfidf import tfidf_top_terms
 from linkgraph.text.decontam import ngram_contamination
+from linkgraph.text.packing import pack_chunks
 from linkgraph.sampling import hash_sample, temperature_mix, weighted_sample
 
 # --------------------------------------------------------------------------
@@ -599,6 +600,15 @@ def _q_dedup_groups(spark, sf):
 def _q_token_stats(spark, sf):
     d = datasets.load(spark, sf, "documents").select("doc_id", "text")
     return token_stats(d).select("doc_id", "n_tokens_ws", "n_tokens_bpe")
+
+
+def _q_sequence_packing(spark, sf):
+    # GPT-style concat-and-chunk at seq_len=512 in doc_id order; the
+    # distributed two-phase prefix sum (text/packing.py) must land every
+    # document at the exact same stream offset as the oracle's window
+    # cumsum — all-int64 contract, no rounding.
+    d = datasets.load(spark, sf, "documents").select("doc_id", "text")
+    return pack_chunks(d, seq_len=512)
 
 
 def _q_quality(spark, sf):
@@ -1195,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_groups": _q_dedup_groups,
         "token_stats": _q_token_stats,
+        "sequence_packing": _q_sequence_packing,
         "tfidf_top_terms": _q_tfidf,
         "hash_sample": _q_hash_sample,
         "ngram_decontamination": _q_decontam,
@@ -2681,6 +2692,26 @@ SELECT doc_id,
             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens_ws,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS n_tokens_bpe
 FROM documents
+""",
+        # Concat-and-chunk packing: same whitespace token count as
+        # token_stats; begin_off is the exclusive window cumsum in
+        # doc_id order; chunk ids are integer div by seq_len=512.
+        "sequence_packing": r"""
+WITH t AS (SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+       FROM documents),
+o AS (SELECT doc_id, n_tokens,
+       coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS begin_off
+      FROM t)
+SELECT doc_id, n_tokens, begin_off,
+       begin_off // 512 AS chunk_first,
+       (begin_off + greatest(n_tokens, 1) - 1) // 512 AS chunk_last,
+       CASE WHEN n_tokens = 0 THEN 0
+            ELSE (begin_off + n_tokens - 1) // 512 - begin_off // 512 + 1
+       END AS n_chunks_spanned
+FROM o
 """,
         "quality_features": quality,
         # TF-IDF with the smoothed idf = ln((N+1)/(df+1)) + 1; ties on
