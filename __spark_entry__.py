@@ -82,6 +82,7 @@ from linkgraph.multimodal.media import extract_features, synthetic_media
 from linkgraph.sim.ann import brute_force_topk, ivf_topk
 from linkgraph.dedup.semantic import semantic_dedup_groups
 from linkgraph.graph.approxtri import approx_triangle_count
+from linkgraph.graph.cliques import four_cliques
 from linkgraph.graph.partcmp import partition_agreement
 from linkgraph.graph.ditriangles import CLASSIFY_SQL, directed_triangle_census
 from linkgraph.sim.kmeans import kmeans
@@ -1121,6 +1122,13 @@ def _q_modularity(spark, sf):
     )
 
 
+def _q_clique4(spark, sf):
+    # 4-clique enumeration on the mid-density co-purchase graph (the
+    # q>=44 threshold keeps the DuckDB 6-way-join oracle tractable);
+    # one id-sorted row per clique.
+    return four_cliques(datasets.co_purchase_edges(spark, sf, min_quantity=44))
+
+
 def _q_square_count(spark, sf):
     return square_count(datasets.co_purchase_edges(spark, sf, min_quantity=40))
 
@@ -1232,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_modularity": _q_modularity,
         "louvain_communities": _q_louvain,
         "square_count": _q_square_count,
+        "clique4": _q_clique4,
         "eccentricity": _q_eccentricity,
         "media_features": _q_media_features,
         "events_window_counts": _q_events_windows,
@@ -3125,6 +3134,22 @@ w AS (SELECT a1.dst AS u, a2.dst AS v
       FROM b a1 JOIN b a2 ON a1.src = a2.src AND a1.dst < a2.dst),
 p AS (SELECT u, v, count(*) AS cn FROM w GROUP BY u, v HAVING count(*) >= 2)
 SELECT coalesce(CAST(sum(cn * (cn - 1)) AS BIGINT) // 4, 0) AS n_squares FROM p
+""",
+        # 4-cliques as an ascending 6-way self-join over the sorted
+        # edge list (a < b < c < d by id — the same canonical order the
+        # engine emits after its degree-ordered enumeration).
+        "clique4": """
+WITH ps AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+            WHERE l_quantity >= 44),
+e AS (SELECT DISTINCT x.pk AS src, y.pk AS dst
+      FROM ps x JOIN ps y ON x.ok = y.ok AND x.pk < y.pk)
+SELECT ab.src AS a, ab.dst AS b, ac.dst AS c, ad.dst AS d
+FROM e ab
+JOIN e ac ON ac.src = ab.src AND ac.dst > ab.dst
+JOIN e bc ON bc.src = ab.dst AND bc.dst = ac.dst
+JOIN e ad ON ad.src = ab.src AND ad.dst > ac.dst
+JOIN e bd ON bd.src = ab.dst AND bd.dst = ad.dst
+JOIN e cd ON cd.src = ac.dst AND cd.dst = ad.dst
 """,
         # Landmark eccentricity: one aggregate over the BFS recursion
         # (same seeds and depth cap as bfs_distances).

@@ -39,6 +39,7 @@ Modes (reference cites in parentheses):
   localcluster    PPR sweep-cut community around --sources seed (scope extension)
   louvain         multi-level Louvain communities; --k levels, --max-iter
                   move rounds per level (scope extension)
+  clique4         exact 4-clique enumeration (degree-ordered DAG extension)
   dicensus        directed triangle census of the raw digraph (scope extension)
   approxtri       DOULION sampled triangle estimate; --k = denominator of
                   the keep probability 1/k (scope extension)
@@ -235,6 +236,10 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         from linkgraph.graph.approxtri import approx_triangle_count
 
         return approx_triangle_count(und, num=1, den=max(args.k, 1))
+    if args.mode == "clique4":
+        from linkgraph.graph.cliques import four_cliques
+
+        return four_cliques(und)
     if args.mode == "localcluster":
         from linkgraph.graph.localcluster import local_cluster
 
