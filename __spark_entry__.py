@@ -97,7 +97,14 @@ from linkgraph.text.stats import corpus_stats, length_percentiles, term_frequenc
 from linkgraph.text.tfidf import tfidf_top_terms
 from linkgraph.text.decontam import ngram_contamination
 from linkgraph.text.packing import pack_chunks
-from linkgraph.sampling import hash_sample, temperature_mix, weighted_sample
+from linkgraph.sampling import (
+    budget_select,
+    hash_sample,
+    temperature_mix,
+    weighted_sample,
+)
+from linkgraph.dedup.exact import deduplicate_against
+from linkgraph.graph.projection import cooccurrence_similarity
 
 # --------------------------------------------------------------------------
 # shared SQL prelude fragments (DuckDB side)
@@ -1122,6 +1129,49 @@ def _q_modularity(spark, sf):
     )
 
 
+def _q_item_similarity(spark, sf):
+    # Item-item association over (order, part) baskets at the q>=44
+    # threshold: the weighted bipartite projection + jaccard/cosine/
+    # lift, integer counts + round(6) doubles.
+    li = datasets.load(spark, sf, "lineitem").where(F.col("l_quantity") >= 44)
+    baskets = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    )
+    return cooccurrence_similarity(baskets, "basket", "item").select(
+        "src",
+        "dst",
+        "n_common",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("cosine", 6).alias("cosine"),
+        F.round("lift", 6).alias("lift"),
+    )
+
+
+def _q_dedup_against(spark, sf):
+    # Exact cross-corpus decontamination: the "benchmark" is every 5th
+    # document verbatim, so exactly the doc_id % 5 == 0 rows drop.
+    d = datasets.load(spark, sf, "documents").select("doc_id", "text")
+    bench = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    )
+    return deduplicate_against(d, bench).select("doc_id")
+
+
+def _q_budget_select(spark, sf):
+    # Best-first curation: per language, longest documents first
+    # (n_chars desc, doc_id tiebreak) until the whitespace-token budget
+    # of 2000 is spent; emits the kept rows with their running cost.
+    d = datasets.load(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    d = token_stats(d).select(
+        "doc_id", "lang", "n_chars", F.col("n_tokens_ws").alias("cost")
+    )
+    return budget_select(
+        d, "lang", "cost", "n_chars", budget=2000, keep_cum=True
+    ).select("doc_id", "lang", "cum_cost")
+
+
 def _q_clique4(spark, sf):
     # 4-clique enumeration on the mid-density co-purchase graph (the
     # q>=44 threshold keeps the DuckDB 6-way-join oracle tractable);
@@ -1241,6 +1291,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_communities": _q_louvain,
         "square_count": _q_square_count,
         "clique4": _q_clique4,
+        "item_similarity": _q_item_similarity,
+        "dedup_against": _q_dedup_against,
+        "budget_select": _q_budget_select,
         "eccentricity": _q_eccentricity,
         "media_features": _q_media_features,
         "events_window_counts": _q_events_windows,
@@ -3150,6 +3203,42 @@ JOIN e bc ON bc.src = ab.dst AND bc.dst = ac.dst
 JOIN e ad ON ad.src = ab.src AND ad.dst > ac.dst
 JOIN e bd ON bd.src = ab.dst AND bd.dst = ad.dst
 JOIN e cd ON cd.src = ac.dst AND cd.dst = ad.dst
+""",
+        # Weighted projection + association scores over (order, part)
+        # baskets; degrees/N over the same distinct membership set.
+        "item_similarity": """
+WITH m AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+           FROM lineitem WHERE l_quantity >= 44),
+p AS (SELECT x.item AS src, y.item AS dst, count(*) AS n_common
+      FROM m x JOIN m y ON x.basket = y.basket AND x.item < y.item
+      GROUP BY 1, 2),
+deg AS (SELECT item, count(*) AS d FROM m GROUP BY item),
+n AS (SELECT count(DISTINCT basket) AS n_baskets FROM m)
+SELECT p.src, p.dst, p.n_common,
+       round(CAST(p.n_common AS DOUBLE) / (a.d + b.d - p.n_common), 6) AS jaccard,
+       round(CAST(p.n_common AS DOUBLE) / sqrt(a.d * b.d), 6) AS cosine,
+       round(CAST(p.n_common AS DOUBLE) * n.n_baskets / (a.d * b.d), 6) AS lift
+FROM p JOIN deg a ON a.item = p.src JOIN deg b ON b.item = p.dst, n
+""",
+        # Exact cross-corpus dedup: benchmark = every 5th document
+        # verbatim -> keep exactly the doc_id % 5 != 0 rows.
+        "dedup_against": """
+SELECT doc_id FROM documents
+WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 5 = 0)
+""",
+        # Per-language longest-first selection under a 2000-token
+        # budget: running inclusive cumsum in (n_chars desc, doc_id)
+        # order, prefix-truncated at the budget.
+        "budget_select": r"""
+WITH t AS (SELECT doc_id, lang, n_chars,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS cost
+       FROM documents),
+c AS (SELECT doc_id, lang,
+       sum(cost) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cost
+      FROM t)
+SELECT doc_id, lang, cum_cost FROM c WHERE cum_cost <= 2000
 """,
         # Landmark eccentricity: one aggregate over the BFS recursion
         # (same seeds and depth cap as bfs_distances).

@@ -33,6 +33,30 @@ def exact_duplicate_groups(
     )
 
 
+def deduplicate_against(
+    df: DataFrame,
+    reference: DataFrame,
+    col: str = "text",
+    ref_col: str | None = None,
+    id_col: str = "doc_id",
+    normalize: bool = False,
+) -> DataFrame:
+    """Drop rows whose (normalized) content appears anywhere in
+    ``reference`` — exact-match cross-corpus decontamination (the
+    train-vs-benchmark split; n-gram-level overlap lives in
+    text/decontam.py).
+
+    One anti-join on md5: the reference side collapses to distinct
+    hashes first (map-side combine), so the probe carries one row per
+    distinct benchmark content, never per benchmark row.
+    """
+    ref_hashes = reference.select(
+        F.md5(_norm(ref_col or col, normalize)).alias("_h")
+    ).distinct()
+    hashed = df.withColumn("_h", F.md5(_norm(col, normalize)))
+    return hashed.join(ref_hashes, "_h", "left_anti").drop("_h")
+
+
 def deduplicate_exact(
     df: DataFrame, col: str = "text", id_col: str = "doc_id", normalize: bool = False
 ) -> DataFrame:

@@ -181,3 +181,37 @@ def temperature_mix(
                < F.col("_cut"))
         .drop("_cut")
     )
+
+
+def budget_select(
+    df: DataFrame,
+    group_col: str,
+    cost_col: str,
+    score_col: str,
+    budget: int | float,
+    id_col: str = "doc_id",
+    keep_cum: bool = False,
+) -> DataFrame:
+    """Best-first selection under a per-group cost budget: within each
+    group, rows are taken in (score desc, id asc) order while the
+    running cost INCLUDING the current row stays <= ``budget`` (the
+    pretraining-curation shape: best documents per domain up to a token
+    budget).
+
+    One window partitioned by the group key — no global sort; a group
+    is a single window partition, so the operator assumes group
+    cardinality >> partition skew (cap pathological groups upstream,
+    e.g. with temperature_mix). A row larger than the whole budget is
+    never kept, even first.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(score_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("cum_cost", F.sum(cost_col).over(w)).where(
+        F.col("cum_cost") <= budget
+    )
+    return out if keep_cum else out.drop("cum_cost")
