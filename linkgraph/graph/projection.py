@@ -38,15 +38,7 @@ def _memberships(
     return m
 
 
-def weighted_projection(
-    df: DataFrame,
-    basket_col: str,
-    item_col: str,
-    max_basket_size: int | None = None,
-) -> DataFrame:
-    """(src, dst, n_common): undirected item pairs (src < dst) with the
-    number of baskets containing both."""
-    m = _memberships(df, basket_col, item_col, max_basket_size)
+def _pairs(m: DataFrame, basket_col: str, item_col: str) -> DataFrame:
     x, y = m.alias("x"), m.alias("y")
     return (
         x.join(y, basket_col)
@@ -57,6 +49,23 @@ def weighted_projection(
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+
+
+def weighted_projection(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """(src, dst, n_common): undirected item pairs (src < dst) with the
+    number of baskets containing both.
+
+    The distinct membership set is materialized once (triangles.py's
+    one-materialization discipline) — both self-join aliases read the
+    checkpoint instead of re-running the scan + distinct aggregate.
+    """
+    m = _memberships(df, basket_col, item_col, max_basket_size)
+    return _pairs(m.localCheckpoint(eager=True), basket_col, item_col)
 
 
 def cooccurrence_similarity(
@@ -73,8 +82,13 @@ def cooccurrence_similarity(
     lift = c · N / (d_a · d_b), where d_* are per-item basket counts
     and N is the number of distinct (capped) baskets.
     """
-    m = _memberships(df, basket_col, item_col, max_basket_size)
-    pairs = weighted_projection(df, basket_col, item_col, max_basket_size)
+    # One materialization feeds all four consumers (pair self-join ×2,
+    # degrees, basket count) — without it the scan + distinct aggregate
+    # runs four times (observed in the sf0.01 plan audit).
+    m = _memberships(df, basket_col, item_col, max_basket_size).localCheckpoint(
+        eager=True
+    )
+    pairs = _pairs(m, basket_col, item_col)
     if min_common > 1:
         pairs = pairs.where(F.col("n_common") >= min_common)
     deg = m.groupBy(item_col).agg(F.count(F.lit(1)).alias("d"))
