@@ -104,7 +104,8 @@ from linkgraph.sampling import (
     weighted_sample,
 )
 from linkgraph.dedup.exact import deduplicate_against
-from linkgraph.graph.projection import cooccurrence_similarity
+from linkgraph.graph.projection import butterfly_count, cooccurrence_similarity
+from linkgraph.graph.summary import graph_summary
 
 # --------------------------------------------------------------------------
 # shared SQL prelude fragments (DuckDB side)
@@ -1172,6 +1173,30 @@ def _q_budget_select(spark, sf):
     ).select("doc_id", "lang", "cum_cost")
 
 
+def _q_butterflies(spark, sf):
+    # Bipartite 4-cycles of the (order, part) relation at q>=44 — one
+    # all-int64 aggregate over the weighted projection.
+    li = datasets.load(spark, sf, "lineitem").where(F.col("l_quantity") >= 44)
+    return butterfly_count(
+        li.select(F.col("l_orderkey").alias("basket"),
+                  F.col("l_partkey").alias("item")),
+        "basket", "item",
+    )
+
+
+def _q_graph_summary(spark, sf):
+    # One-row describe of the q>=44 co-purchase graph; doubles rounded
+    # for the hash canon (single-op IEEE arithmetic matches anyway).
+    s = graph_summary(datasets.co_purchase_edges(spark, sf, min_quantity=44))
+    return s.select(
+        "n_vertices", "n_edges", "max_degree",
+        F.round("avg_degree", 6).alias("avg_degree"),
+        F.round("density", 6).alias("density"),
+        "n_triangles", "n_wedges",
+        F.round("transitivity", 6).alias("transitivity"),
+    )
+
+
 def _q_clique4(spark, sf):
     # 4-clique enumeration on the mid-density co-purchase graph (the
     # q>=44 threshold keeps the DuckDB 6-way-join oracle tractable);
@@ -1292,6 +1317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "square_count": _q_square_count,
         "clique4": _q_clique4,
         "item_similarity": _q_item_similarity,
+        "butterfly_count": _q_butterflies,
+        "graph_summary": _q_graph_summary,
         "dedup_against": _q_dedup_against,
         "budget_select": _q_budget_select,
         "eccentricity": _q_eccentricity,
@@ -3219,6 +3246,41 @@ SELECT p.src, p.dst, p.n_common,
        round(CAST(p.n_common AS DOUBLE) / sqrt(a.d * b.d), 6) AS cosine,
        round(CAST(p.n_common AS DOUBLE) * n.n_baskets / (a.d * b.d), 6) AS lift
 FROM p JOIN deg a ON a.item = p.src JOIN deg b ON b.item = p.dst, n
+""",
+        # Bipartite 4-cycles: sum C(n_common, 2) over item pairs —
+        # integer-exact, same pair CTE as item_similarity.
+        "butterfly_count": """
+WITH m AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+           FROM lineitem WHERE l_quantity >= 44),
+p AS (SELECT x.item AS src, y.item AS dst, count(*) AS n_common
+      FROM m x JOIN m y ON x.basket = y.basket AND x.item < y.item
+      GROUP BY 1, 2)
+SELECT coalesce(CAST(sum(n_common * (n_common - 1)) AS BIGINT), 0) // 2
+       AS n_butterflies FROM p
+""",
+        # One-row graph describe over the q>=44 co-purchase graph:
+        # degree envelope + the triangle/transitivity block (same 3-way
+        # sorted-edge join as the triangle oracles).
+        "graph_summary": """
+WITH ps AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+            WHERE l_quantity >= 44),
+e AS (SELECT DISTINCT x.pk AS src, y.pk AS dst
+      FROM ps x JOIN ps y ON x.ok = y.ok AND x.pk < y.pk),
+deg AS (SELECT id, count(*) AS degree FROM
+        (SELECT src AS id FROM e UNION ALL SELECT dst FROM e) GROUP BY id),
+tri AS (SELECT count(*) AS n_tri FROM e e1
+        JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+s AS (SELECT count(*) AS n, max(degree) AS mx,
+             CAST(sum(degree * (degree - 1)) AS BIGINT) // 2 AS n_wedges
+      FROM deg),
+m AS (SELECT count(*) AS m FROM e)
+SELECT s.n AS n_vertices, m.m AS n_edges, s.mx AS max_degree,
+       round(2.0 * m.m / s.n, 6) AS avg_degree,
+       round(2.0 * m.m / (s.n * (s.n - 1)), 6) AS density,
+       tri.n_tri AS n_triangles, s.n_wedges,
+       round(3.0 * tri.n_tri / s.n_wedges, 6) AS transitivity
+FROM s, m, tri
 """,
         # Exact cross-corpus dedup: benchmark = every 5th document
         # verbatim -> keep exactly the doc_id % 5 != 0 rows.

@@ -115,3 +115,22 @@ def cooccurrence_similarity(
             ),
         )
     )
+
+
+def butterfly_count(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """One row (n_butterflies): bipartite 4-cycles (2 baskets × 2
+    items, the bipartite clique K2,2) = Σ over item pairs of
+    C(n_common, 2) — a single integer aggregate over the weighted
+    projection (the pair-wedge identity; same shape as squares.py's
+    diagonal-pair trick). All-int64, no doubles.
+    """
+    c = F.col("n_common")
+    return weighted_projection(df, basket_col, item_col, max_basket_size).agg(
+        F.coalesce(F.sum((c * (c - F.lit(1))).cast("long")), F.lit(0))
+        .cast("long").alias("n_butterflies2")
+    ).select(F.expr("n_butterflies2 div 2").alias("n_butterflies"))

@@ -139,3 +139,28 @@ def test_budget_select_cum_column(spark):
         acc += cost
         want.append((did, acc))
     assert sorted((r["doc_id"], r["cum_cost"]) for r in out) == sorted(want)
+
+
+def test_butterfly_count_brute_force(spark):
+    from linkgraph.graph.projection import butterfly_count
+
+    rng = random.Random(41)
+    rows = list({(rng.randrange(20), rng.randrange(12)) for _ in range(120)})
+    got = butterfly_count(_baskets(spark, rows), "basket", "item").collect()[0]
+    members: dict[int, set] = {}
+    for b, i in rows:
+        members.setdefault(b, set()).add(i)
+    want = 0
+    for b1, b2 in itertools.combinations(sorted(members), 2):
+        common = len(members[b1] & members[b2])
+        want += common * (common - 1) // 2
+    assert got["n_butterflies"] == want
+
+
+def test_butterfly_count_k22_and_empty(spark):
+    from linkgraph.graph.projection import butterfly_count
+
+    k22 = _baskets(spark, [(0, 0), (0, 1), (1, 0), (1, 1)])
+    assert butterfly_count(k22, "basket", "item").collect()[0][0] == 1
+    nothing = _baskets(spark, [(0, 0), (1, 1)])
+    assert butterfly_count(nothing, "basket", "item").collect()[0][0] == 0
