@@ -42,12 +42,16 @@ def shingle_sets(
     id_col: str = "doc_id",
     shingle: int = 3,
     portable: bool = False,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, shingles: array<long>) — distinct hashed word n-grams.
+    """(id, shingles: array<long>[, carry...]) — distinct hashed word
+    n-grams.
 
     ``portable=True`` swaps xxhash64 for the cross-engine polynomial
     family (linkgraph.dedup.phash) so a DuckDB oracle can reproduce the
     exact shingle hashes; the default stays on the JVM intrinsic.
+    ``carry`` keeps extra columns (e.g. the event timestamp for the
+    streaming pipeline, which cannot join them back later).
     """
     gram_hash = phash.poly_hash if portable else F.xxhash64
     words = F.split(F.trim(F.lower(F.col(col))), r"\s+")
@@ -59,7 +63,11 @@ def shingle_sets(
             lambda i: gram_hash(F.concat_ws(" ", F.slice(words, i, shingle))),
         ),
     ).otherwise(F.array(gram_hash(F.trim(F.lower(F.col(col))))))
-    return df.select(F.col(id_col).alias("id"), F.array_distinct(grams).alias("shingles"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(grams).alias("shingles"),
+        *[F.col(c) for c in carry],
+    )
 
 
 def minhash_signatures(
