@@ -90,6 +90,11 @@ from linkgraph.sim.pca import embedding_covariance, pca_top_component
 from linkgraph.dedup.paragraphs import paragraph_dedup
 from linkgraph.text.analysis import language_id, quality_features, token_stats
 from linkgraph.text.c4 import c4_filters
+from linkgraph.text.classifier import (
+    logistic_scores,
+    quality_features_for_lr,
+    train_logistic,
+)
 from linkgraph.text.lm import unigram_lm_scores
 from linkgraph.text.pii import pii_features, redact_pii
 from linkgraph.text.pmi import pmi_pairs
@@ -1053,6 +1058,27 @@ def _q_unigram_lm(spark, sf):
     )
 
 
+def _q_quality_classifier(spark, sf):
+    # Trained quality filter: logistic regression on 3 text features,
+    # label = "document is English" (the curated-positive proxy), 3
+    # full-batch GD rounds at lr=0.5. Weights cross the engines as the
+    # same double-precision literals the oracle derives via chained
+    # CTEs; per-round float divergence is summation order only (~1e-15),
+    # far below the 6-decimal rounding.
+    d = (
+        datasets.load(spark, sf, "documents")
+        .select("doc_id", "text", (F.col("lang") == "en").cast("int").alias("y"))
+    )
+    feats = quality_features_for_lr(d, keep=("y",))
+    w = train_logistic(feats, rounds=3, lr=0.5)
+    return logistic_scores(feats, w).select(
+        "doc_id",
+        "y",
+        F.round("score", 6).alias("score"),
+        (F.col("score") >= 0.5).alias("kept"),
+    )
+
+
 def _q_c4_filters(spark, sf):
     # The synthetic docs are unpunctuated single-line word soup, so
     # both sides first synthesize identical line/sentence/brace
@@ -1309,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_frequencies": _q_term_frequencies,
         "corpus_stats": _q_corpus_stats,
         "unigram_lm": _q_unigram_lm,
+        "quality_classifier": _q_quality_classifier,
         "c4_filter_stats": _q_c4_filters,
         "paragraph_dedup": _q_paragraph_dedup,
         "pii_redaction": _q_pii,
@@ -3084,6 +3111,53 @@ s AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
 SELECT doc_id, n_tokens, round(lp, 6) AS avg_logprob,
        round(exp(-lp), 6) AS perplexity
 FROM s
+""",
+        # Trained logistic quality classifier: replay the 3 full-batch
+        # GD rounds (lr=0.5) as chained CTEs. Round 1's sigmoid(0)=0.5
+        # is constant so its gradient needs no per-row exp. All
+        # arithmetic is DOUBLE (explicit casts — DuckDB float literals
+        # are DECIMAL, whose division precision differs from Spark's).
+        "quality_classifier": r"""
+WITH f AS (
+  SELECT doc_id, CAST(lang = 'en' AS INT) AS y,
+         CAST(len(ws) AS DOUBLE) / CAST(100 AS DOUBLE) AS x1,
+         CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
+           / CAST(len(ws) AS DOUBLE) AS x2,
+         CAST(len(list_distinct(ws)) AS DOUBLE)
+           / CAST(len(ws) AS DOUBLE) AS x3
+  FROM (SELECT doc_id, lang,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        FROM documents WHERE length(trim(text)) > 0)
+),
+g1 AS (SELECT sum(0.5 - y) / count(*) AS g0,
+              sum((0.5 - y) * x1) / count(*) AS g1,
+              sum((0.5 - y) * x2) / count(*) AS g2,
+              sum((0.5 - y) * x3) / count(*) AS g3 FROM f),
+w1 AS (SELECT CAST(-0.5 AS DOUBLE) * g0 AS b, CAST(-0.5 AS DOUBLE) * g1 AS c1,
+              CAST(-0.5 AS DOUBLE) * g2 AS c2, CAST(-0.5 AS DOUBLE) * g3 AS c3
+       FROM g1),
+e2 AS (SELECT y, x1, x2, x3,
+              1.0 / (1.0 + exp(-(b + c1 * x1 + c2 * x2 + c3 * x3))) AS p
+       FROM f CROSS JOIN w1),
+g2 AS (SELECT sum(p - y) / count(*) AS g0, sum((p - y) * x1) / count(*) AS g1,
+              sum((p - y) * x2) / count(*) AS g2,
+              sum((p - y) * x3) / count(*) AS g3 FROM e2),
+w2 AS (SELECT w1.b - 0.5 * g2.g0 AS b, w1.c1 - 0.5 * g2.g1 AS c1,
+              w1.c2 - 0.5 * g2.g2 AS c2, w1.c3 - 0.5 * g2.g3 AS c3
+       FROM w1 CROSS JOIN g2),
+e3 AS (SELECT y, x1, x2, x3,
+              1.0 / (1.0 + exp(-(b + c1 * x1 + c2 * x2 + c3 * x3))) AS p
+       FROM f CROSS JOIN w2),
+g3 AS (SELECT sum(p - y) / count(*) AS g0, sum((p - y) * x1) / count(*) AS g1,
+              sum((p - y) * x2) / count(*) AS g2,
+              sum((p - y) * x3) / count(*) AS g3 FROM e3),
+w3 AS (SELECT w2.b - 0.5 * g3.g0 AS b, w2.c1 - 0.5 * g3.g1 AS c1,
+              w2.c2 - 0.5 * g3.g2 AS c2, w2.c3 - 0.5 * g3.g3 AS c3
+       FROM w2 CROSS JOIN g3)
+SELECT doc_id, y, round(p, 6) AS score, p >= 0.5 AS kept
+FROM (SELECT doc_id, y,
+             1.0 / (1.0 + exp(-(b + c1 * x1 + c2 * x2 + c3 * x3))) AS p
+      FROM f CROSS JOIN w3)
 """,
         # C4 line/doc rules over synthesized structure (same literal
         # replaces as the Spark query): keep lines ending in [.!?"]
