@@ -95,6 +95,7 @@ from linkgraph.text.classifier import (
     quality_features_for_lr,
     train_logistic,
 )
+from linkgraph.text.dsir import importance_resample
 from linkgraph.text.lm import unigram_lm_scores
 from linkgraph.text.pii import pii_features, redact_pii
 from linkgraph.text.pmi import pmi_pairs
@@ -1079,6 +1080,27 @@ def _q_quality_classifier(spark, sf):
     )
 
 
+def _q_dsir_resample(spark, sf):
+    # DSIR: resample 100 non-English docs to look like the English
+    # "target" distribution over 256 hashed unigram+bigram buckets.
+    # portable=True so the DuckDB oracle reproduces every hash and the
+    # deterministic Gumbel noise bit-for-bit.
+    d = datasets.load(spark, sf, "documents").select("doc_id", "text", "lang")
+    r = importance_resample(
+        d.where(F.col("lang") != "en"),
+        d.where(F.col("lang") == "en"),
+        k=100,
+        portable=True,
+    )
+    return r.select(
+        "doc_id",
+        "n_grams",
+        F.round("logw", 6).alias("logw"),
+        F.round("gumbel_key", 6).alias("gumbel_key"),
+        "selected",
+    )
+
+
 def _q_c4_filters(spark, sf):
     # The synthetic docs are unpunctuated single-line word soup, so
     # both sides first synthesize identical line/sentence/brace
@@ -1336,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "unigram_lm": _q_unigram_lm,
         "quality_classifier": _q_quality_classifier,
+        "dsir_resample": _q_dsir_resample,
         "c4_filter_stats": _q_c4_filters,
         "paragraph_dedup": _q_paragraph_dedup,
         "pii_redaction": _q_pii,
@@ -3158,6 +3181,61 @@ SELECT doc_id, y, round(p, 6) AS score, p >= 0.5 AS kept
 FROM (SELECT doc_id, y,
              1.0 / (1.0 + exp(-(b + c1 * x1 + c2 * x2 + c3 * x3))) AS p
       FROM f CROSS JOIN w3)
+""",
+        # DSIR importance resampling: unigram+bigram grams -> portable
+        # poly hash + 2 avalanche rounds -> 256 buckets; add-one
+        # smoothed target/raw bucket distributions; per-doc log-ratio
+        # weight; deterministic Gumbel noise from the doc-id hash;
+        # top-100 by key. Mirrors text/dsir.py expression-for-
+        # expression (division order matters at the final rounding).
+        "dsir_resample": f"""
+WITH t AS (SELECT doc_id, lang,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+           FROM documents WHERE length(trim(text)) > 0),
+g AS (SELECT doc_id, lang,
+        unnest(list_concat(ws,
+          CASE WHEN len(ws) >= 2
+            THEN list_transform(generate_series(1, len(ws) - 1),
+                                i -> ws[i] || ' ' || ws[i + 1])
+            ELSE [] END)) AS gram
+      FROM t),
+h0 AS (SELECT doc_id, lang, ({_poly_sql("gram", 31, 1_000_000_007)}) AS h
+       FROM g),
+h1 AS (SELECT doc_id, lang, (h * h + {0x9E3779B9}) % 1000000007 AS h FROM h0),
+h2 AS (SELECT doc_id, lang,
+              ((h * h + {0x85EBCA6B}) % 1000000007) % 256 AS bucket FROM h1),
+tf AS (SELECT doc_id, lang, bucket, count(*) AS tf
+       FROM h2 GROUP BY doc_id, lang, bucket),
+qd AS (SELECT bucket, CAST(sum(tf) AS BIGINT) AS q_cnt
+       FROM tf WHERE lang <> 'en' GROUP BY bucket),
+pd AS (SELECT bucket, CAST(sum(tf) AS BIGINT) AS p_cnt
+       FROM tf WHERE lang = 'en' GROUP BY bucket),
+dist AS (SELECT coalesce(qd.bucket, pd.bucket) AS bucket,
+                coalesce(q_cnt, 0) AS q_cnt, coalesce(p_cnt, 0) AS p_cnt
+         FROM qd FULL OUTER JOIN pd ON qd.bucket = pd.bucket),
+tot AS (SELECT CAST(sum(q_cnt) AS DOUBLE) AS q_tot,
+               CAST(sum(p_cnt) AS DOUBLE) AS p_tot FROM dist),
+ratio AS (SELECT bucket,
+            ln(((CAST(p_cnt AS DOUBLE) + 1.0) / (p_tot + 256.0))
+               / ((CAST(q_cnt AS DOUBLE) + 1.0) / (q_tot + 256.0))) AS lr
+          FROM dist CROSS JOIN tot),
+w AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_grams,
+             sum(tf.tf * ratio.lr) AS logw
+      FROM tf JOIN ratio USING (bucket) WHERE tf.lang <> 'en'
+      GROUP BY tf.doc_id),
+k0 AS (SELECT doc_id,
+         ({_poly_sql("concat(CAST(doc_id AS VARCHAR), ':dsir')", 31, 1_000_000_007)}) AS h
+       FROM w),
+k1 AS (SELECT doc_id, (h * h + {0x9E3779B9}) % 1000000007 AS h FROM k0),
+k2 AS (SELECT doc_id,
+         (CAST(((h * h + {0x85EBCA6B}) % 1000000007) % 1000000 AS DOUBLE)
+          + 0.5) / CAST(1000000 AS DOUBLE) AS u FROM k1),
+keyed AS (SELECT w.doc_id, n_grams, logw, logw - ln(-ln(u)) AS gk
+          FROM w JOIN k2 USING (doc_id)),
+top AS (SELECT doc_id FROM keyed ORDER BY gk DESC, doc_id LIMIT 100)
+SELECT doc_id, n_grams, round(logw, 6) AS logw, round(gk, 6) AS gumbel_key,
+       doc_id IN (SELECT doc_id FROM top) AS selected
+FROM keyed
 """,
         # C4 line/doc rules over synthesized structure (same literal
         # replaces as the Spark query): keep lines ending in [.!?"]
