@@ -61,6 +61,7 @@ from linkgraph.graph.triangles import transitivity
 from linkgraph.graph.truss import k_truss_components
 from linkgraph.graph.truss import k_truss, max_truss, truss_decomposition
 from linkgraph.graph.hits import hits
+from linkgraph.graph.salsa import salsa
 from linkgraph.graph.hyperball import hyperball
 from linkgraph.graph.localcluster import local_cluster
 from linkgraph.graph.linkpred import link_prediction
@@ -996,6 +997,13 @@ def _q_hits(spark, sf):
     )
 
 
+def _q_salsa(spark, sf):
+    res = salsa(datasets.supply_digraph(spark, sf), max_iter=20)
+    return res.scores.select(
+        "id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+
+
 def _q_link_prediction(spark, sf):
     scored = link_prediction(
         datasets.co_purchase_edges(spark, sf, min_quantity=40), min_common=2
@@ -1301,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": _q_assortativity,
         "pagerank_personalized": _q_ppr,
         "hits_scores": _q_hits,
+        "salsa_scores": _q_salsa,
         "link_prediction": _q_link_prediction,
         "bfs_distances": _q_bfs,
         "sssp_weighted": _q_sssp,
@@ -2078,6 +2087,45 @@ h(it, id, hub, auth) AS (
            FROM v LEFT JOIN hc ON hc.id = v.id),
     hn AS (SELECT id, CASE WHEN (SELECT sqrt(sum(hb * hb)) FROM h1) > 0
                            THEN hb / (SELECT sqrt(sum(hb * hb)) FROM h1)
+                           ELSE 0.0 END AS hb FROM h1)
+    SELECT (SELECT max(it) FROM h) + 1, hn.id, hn.hb, an.a
+    FROM hn JOIN an ON an.id = hn.id
+  ) t
+  WHERE (SELECT max(it) FROM h) < 20
+)
+SELECT id, round(hub, 6) AS hub, round(auth, 6) AS auth FROM h WHERE it = 20
+""",
+        # SALSA: the degree-normalized (random-walk) HITS variant,
+        # L1-normalized each half-step; same unrolled recursion shape
+        # as hits_scores with outdeg/indeg joins on the edge table.
+        "salsa_scores": """
+WITH RECURSIVE
+e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+v AS (SELECT DISTINCT id FROM
+       (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e) t0),
+od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+idg AS (SELECT dst, count(*) AS indeg FROM e GROUP BY dst),
+h(it, id, hub, auth) AS (
+  SELECT 0, id, 1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM v),
+         CAST(0.0 AS DOUBLE) FROM v
+  UNION ALL
+  SELECT * FROM (
+    WITH cur AS (SELECT id, hub FROM h),
+    ac AS (SELECT e.dst AS id, sum(cur.hub / od.outdeg) AS a
+           FROM cur JOIN e ON cur.id = e.src JOIN od ON od.src = e.src
+           GROUP BY e.dst),
+    a1 AS (SELECT v.id, coalesce(ac.a, 0.0) AS a
+           FROM v LEFT JOIN ac ON ac.id = v.id),
+    an AS (SELECT id, CASE WHEN (SELECT sum(a) FROM a1) > 0
+                           THEN a / (SELECT sum(a) FROM a1)
+                           ELSE 0.0 END AS a FROM a1),
+    hc AS (SELECT e.src AS id, sum(an.a / idg.indeg) AS hb
+           FROM an JOIN e ON an.id = e.dst JOIN idg ON idg.dst = e.dst
+           GROUP BY e.src),
+    h1 AS (SELECT v.id, coalesce(hc.hb, 0.0) AS hb
+           FROM v LEFT JOIN hc ON hc.id = v.id),
+    hn AS (SELECT id, CASE WHEN (SELECT sum(hb) FROM h1) > 0
+                           THEN hb / (SELECT sum(hb) FROM h1)
                            ELSE 0.0 END AS hb FROM h1)
     SELECT (SELECT max(it) FROM h) + 1, hn.id, hn.hb, an.a
     FROM hn JOIN an ON an.id = hn.id
