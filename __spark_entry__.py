@@ -62,6 +62,7 @@ from linkgraph.graph.truss import k_truss_components
 from linkgraph.graph.truss import k_truss, max_truss, truss_decomposition
 from linkgraph.graph.hits import hits
 from linkgraph.graph.salsa import salsa
+from linkgraph.graph.cocitation import bibliographic_coupling, co_citation
 from linkgraph.graph.hyperball import hyperball
 from linkgraph.graph.localcluster import local_cluster
 from linkgraph.graph.linkpred import link_prediction
@@ -1004,6 +1005,20 @@ def _q_salsa(spark, sf):
     )
 
 
+def _q_cocitation(spark, sf):
+    scored = co_citation(datasets.supply_digraph(spark, sf), min_count=15)
+    return scored.select(
+        "a", "b", "cocitations", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def _q_coupling(spark, sf):
+    scored = bibliographic_coupling(datasets.supply_digraph(spark, sf))
+    return scored.select(
+        "a", "b", "couplings", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def _q_link_prediction(spark, sf):
     scored = link_prediction(
         datasets.co_purchase_edges(spark, sf, min_quantity=40), min_common=2
@@ -1310,6 +1325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_personalized": _q_ppr,
         "hits_scores": _q_hits,
         "salsa_scores": _q_salsa,
+        "co_citation": _q_cocitation,
+        "bibliographic_coupling": _q_coupling,
         "link_prediction": _q_link_prediction,
         "bfs_distances": _q_bfs,
         "sssp_weighted": _q_sssp,
@@ -2133,6 +2150,31 @@ h(it, id, hub, auth) AS (
   WHERE (SELECT max(it) FROM h) < 20
 )
 SELECT id, round(hub, 6) AS hub, round(auth, 6) AS auth FROM h WHERE it = 20
+""",
+        # Co-citation: part pairs cited by >=15 shared suppliers, with
+        # the indegree-cosine normalization (Small 1973).
+        "co_citation": """
+WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+p AS (SELECT a1.dst AS a, a2.dst AS b, count(*) AS cocitations
+      FROM e a1 JOIN e a2 ON a1.src = a2.src AND a1.dst < a2.dst
+      GROUP BY a1.dst, a2.dst
+      HAVING count(*) >= 15),
+ind AS (SELECT dst AS id, count(*) AS indeg FROM e GROUP BY dst)
+SELECT p.a, p.b, p.cocitations,
+       round(p.cocitations / sqrt(da.indeg * db.indeg), 6) AS cosine
+FROM p JOIN ind da ON da.id = p.a JOIN ind db ON db.id = p.b
+""",
+        # Bibliographic coupling: supplier pairs citing shared parts,
+        # outdegree-cosine normalized (Kessler 1963).
+        "bibliographic_coupling": """
+WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+p AS (SELECT a1.src AS a, a2.src AS b, count(*) AS couplings
+      FROM e a1 JOIN e a2 ON a1.dst = a2.dst AND a1.src < a2.src
+      GROUP BY a1.src, a2.src),
+od AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src)
+SELECT p.a, p.b, p.couplings,
+       round(p.couplings / sqrt(da.outdeg * db.outdeg), 6) AS cosine
+FROM p JOIN od da ON da.id = p.a JOIN od db ON db.id = p.b
 """,
         # Link prediction on the mid-density truss graph: the wedge
         # self-join / per-pair aggregate / anti-join is the same
