@@ -1064,6 +1064,13 @@ def _q_term_frequencies(spark, sf):
     return term_frequencies(d, top_n=20)
 
 
+def _q_heavy_hitters(spark, sf):
+    from linkgraph.text.sketch import heavy_hitters
+
+    d = datasets.load(spark, sf, "documents").select("doc_id", "text")
+    return heavy_hitters(d, top_n=20, depth=4, width=256)
+
+
 def _q_corpus_stats(spark, sf):
     d = datasets.load(spark, sf, "documents").select("doc_id", "text")
     return corpus_stats(d, zipf_top=40).select(
@@ -1381,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram,
         "pmi_pairs": _q_pmi,
         "term_frequencies": _q_term_frequencies,
+        "heavy_hitters": _q_heavy_hitters,
         "corpus_stats": _q_corpus_stats,
         "unigram_lm": _q_unigram_lm,
         "quality_classifier": _q_quality_classifier,
@@ -1630,6 +1638,39 @@ def _poly_sql(expr: str, mult: int, mod: int) -> str:
         f"pi -> ascii(substring({expr}, pi, 1))::BIGINT)), "
         f"(acc, c) -> (acc * {mult} + c) % {mod})"
     )
+
+
+def _heavy_hitters_oracle() -> str:
+    """heavy_hitters in DuckDB: replay the Count-Min sketch bit-exactly
+    (text/sketch.py, depth=4 width=256) — same tokenizer as
+    term_frequencies, same poly_hash/sig_seeds congruences as the
+    Spark plan, min-over-rows estimate for the exact top-20 terms."""
+    from linkgraph.dedup import phash
+
+    seeds = ", ".join(
+        "({}, {}, {})".format(r, *phash.sig_seeds(r)) for r in range(4)
+    )
+    ph = _poly_sql("term", 31, phash.P1)
+    return rf"""
+WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+             FROM documents WHERE length(trim(text)) > 0),
+hashed AS (SELECT term, {ph} AS h FROM tok),
+seeds(row, a, b) AS (VALUES {seeds}),
+sk AS (SELECT s.row, ((s.a * h.h + s.b) % {phash.P1}) % 256 AS bucket,
+              count(*) AS cnt
+       FROM hashed h CROSS JOIN seeds s GROUP BY 1, 2),
+c AS (SELECT term, min(h) AS h, count(*) AS freq FROM hashed GROUP BY term),
+top AS (SELECT term, h, freq,
+               row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
+        FROM c QUALIFY rank <= 20),
+est AS (SELECT t.term, min(coalesce(sk.cnt, 0)) AS cm_count
+        FROM top t CROSS JOIN seeds s
+        LEFT JOIN sk ON sk.row = s.row
+                    AND sk.bucket = ((s.a * t.h + s.b) % {phash.P1}) % 256
+        GROUP BY t.term)
+SELECT t.rank, t.term, t.freq, e.cm_count
+FROM top t JOIN est e ON e.term = t.term
+"""
 
 
 def _media_oracle() -> str:
@@ -3189,6 +3230,9 @@ r AS (SELECT term, freq,
       FROM c)
 SELECT rank, term, freq FROM r WHERE rank <= 20
 """,
+        # Count-Min heavy hitters: bit-exact sketch replay (see
+        # _heavy_hitters_oracle).
+        "heavy_hitters": _heavy_hitters_oracle(),
         # Zipf fit: population LS slope of ln(freq) on ln(rank) over the
         # top 40 terms (regr_slope == covar_pop / var_pop).
         "corpus_stats": r"""
