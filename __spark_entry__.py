@@ -1019,6 +1019,24 @@ def _q_coupling(spark, sf):
     )
 
 
+def _q_edge_jaccard(spark, sf):
+    from linkgraph.graph.sparsify import edge_jaccard
+
+    sim = edge_jaccard(datasets.co_purchase_edges(spark, sf))
+    return sim.select(
+        "src", "dst", "common", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _q_sparsify(spark, sf):
+    from linkgraph.graph.sparsify import sparsify
+
+    kept = sparsify(datasets.co_purchase_edges(spark, sf), e=0.5)
+    return kept.select(
+        "src", "dst", "common", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def _q_link_prediction(spark, sf):
     scored = link_prediction(
         datasets.co_purchase_edges(spark, sf, min_quantity=40), min_common=2
@@ -1334,6 +1352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa_scores": _q_salsa,
         "co_citation": _q_cocitation,
         "bibliographic_coupling": _q_coupling,
+        "edge_jaccard": _q_edge_jaccard,
+        "sparsify_local": _q_sparsify,
         "link_prediction": _q_link_prediction,
         "bfs_distances": _q_bfs,
         "sssp_weighted": _q_sssp,
@@ -2216,6 +2236,49 @@ od AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src)
 SELECT p.a, p.b, p.couplings,
        round(p.couplings / sqrt(da.outdeg * db.outdeg), 6) AS cosine
 FROM p JOIN od da ON da.id = p.a JOIN od db ON db.id = p.b
+""",
+        # Per-edge neighborhood Jaccard from the triangle-support
+        # identity: common(u,v) = support(u,v).
+        "edge_jaccard": f"""
+WITH {_E_DENSE}, {_TRI},
+te AS (SELECT a AS src, b AS dst FROM tri
+       UNION ALL SELECT a, c FROM tri
+       UNION ALL SELECT b, c FROM tri),
+sup AS (SELECT src, dst, count(*) AS c FROM te GROUP BY src, dst),
+deg AS (SELECT id, count(*) AS degree FROM
+        (SELECT src AS id FROM e UNION ALL SELECT dst FROM e) GROUP BY id)
+SELECT e.src, e.dst, coalesce(sup.c, 0) AS common,
+       round(coalesce(sup.c, 0)
+             / (du.degree + dv.degree - coalesce(sup.c, 0)), 6) AS jaccard
+FROM e LEFT JOIN sup ON sup.src = e.src AND sup.dst = e.dst
+JOIN deg du ON du.id = e.src JOIN deg dv ON dv.id = e.dst
+""",
+        # Local sparsification (Satuluri et al. 2011): per-endpoint
+        # rank by jaccard, keep rank <= ceil(deg^0.5), union semantics.
+        "sparsify_local": f"""
+WITH {_E_DENSE}, {_TRI},
+te AS (SELECT a AS src, b AS dst FROM tri
+       UNION ALL SELECT a, c FROM tri
+       UNION ALL SELECT b, c FROM tri),
+sup AS (SELECT src, dst, count(*) AS c FROM te GROUP BY src, dst),
+deg AS (SELECT id, count(*) AS degree FROM
+        (SELECT src AS id FROM e UNION ALL SELECT dst FROM e) GROUP BY id),
+sim AS (SELECT e.src, e.dst, coalesce(sup.c, 0) AS common,
+               coalesce(sup.c, 0)
+               / (du.degree + dv.degree - coalesce(sup.c, 0)) AS jaccard
+        FROM e LEFT JOIN sup ON sup.src = e.src AND sup.dst = e.dst
+        JOIN deg du ON du.id = e.src JOIN deg dv ON dv.id = e.dst),
+inc AS (SELECT src AS id, dst AS nbr, src, dst, jaccard FROM sim
+        UNION ALL SELECT dst, src, src, dst, jaccard FROM sim),
+rk AS (SELECT id, nbr, src, dst,
+              row_number() OVER (PARTITION BY id
+                                 ORDER BY jaccard DESC, nbr ASC) AS r
+       FROM inc),
+keep AS (SELECT DISTINCT rk.src, rk.dst
+         FROM rk JOIN deg ON deg.id = rk.id
+         WHERE rk.r <= ceil(pow(deg.degree, 0.5)))
+SELECT k.src, k.dst, s.common, round(s.jaccard, 6) AS jaccard
+FROM keep k JOIN sim s ON s.src = k.src AND s.dst = k.dst
 """,
         # Link prediction on the mid-density truss graph: the wedge
         # self-join / per-pair aggregate / anti-join is the same
