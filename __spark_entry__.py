@@ -1019,6 +1019,18 @@ def _q_coupling(spark, sf):
     )
 
 
+def _q_dyad_census(spark, sf):
+    from linkgraph.graph.edges import dyad_census
+
+    res = dyad_census(datasets.supply_digraph(spark, sf))
+    return res.select(
+        "mutual",
+        "asymmetric",
+        "null",
+        F.round("reciprocity", 6).alias("reciprocity"),
+    )
+
+
 def _q_edge_jaccard(spark, sf):
     from linkgraph.graph.sparsify import edge_jaccard
 
@@ -1354,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bibliographic_coupling": _q_coupling,
         "edge_jaccard": _q_edge_jaccard,
         "sparsify_local": _q_sparsify,
+        "dyad_census": _q_dyad_census,
         "link_prediction": _q_link_prediction,
         "bfs_distances": _q_bfs,
         "sssp_weighted": _q_sssp,
@@ -2236,6 +2249,31 @@ od AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src)
 SELECT p.a, p.b, p.couplings,
        round(p.couplings / sqrt(da.outdeg * db.outdeg), 6) AS cosine
 FROM p JOIN od da ON da.id = p.a JOIN od db ON db.id = p.b
+""",
+        # Dyad census (mutual/asymmetric/null + edge reciprocity) on
+        # the supply digraph, whose overlapping integer id spaces give
+        # a nonzero mutual count.
+        "dyad_census": """
+WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem
+           WHERE l_suppkey <> l_partkey),
+p AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+             max(CASE WHEN src < dst THEN 1 ELSE 0 END) AS f,
+             max(CASE WHEN src > dst THEN 1 ELSE 0 END) AS r
+      FROM e GROUP BY 1, 2),
+n AS (SELECT count(DISTINCT id) AS n FROM
+      (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+c AS (SELECT CAST(sum(CASE WHEN f = 1 AND r = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS mutual,
+             CAST(sum(CASE WHEN f <> r THEN 1 ELSE 0 END) AS BIGINT)
+               AS asym
+      FROM p)
+SELECT mutual, asym AS "asymmetric",
+       CAST((SELECT n FROM n) * ((SELECT n FROM n) - 1) / 2
+            - mutual - asym AS BIGINT) AS "null",
+       round(CASE WHEN 2 * mutual + asym > 0
+                  THEN 2.0 * mutual / (2 * mutual + asym)
+                  ELSE 0.0 END, 6) AS reciprocity
+FROM c
 """,
         # Per-edge neighborhood Jaccard from the triangle-support
         # identity: common(u,v) = support(u,v).

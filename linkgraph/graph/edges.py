@@ -127,6 +127,62 @@ def reciprocal_edges(directed: DataFrame) -> DataFrame:
     )
 
 
+def dyad_census(directed: DataFrame) -> DataFrame:
+    """Holland-Leinhardt dyad census of a directed graph (one row).
+
+    Returns (mutual, asymmetric, null, reciprocity): counts of
+    connected dyads with both / exactly one direction present,
+    null = C(n,2) - mutual - asymmetric over the n touched vertices,
+    and edge reciprocity = 2*mutual / (2*mutual + asymmetric) — the
+    fraction of directed (deduplicated, loop-free) edges whose
+    reverse also exists. The dyad-level complement of the triad
+    census (ditriangles.py); same flag-aggregate shape as
+    reciprocal_edges (GraphMiningSpark.scala:110-134) plus one global
+    roll-up, so it's two map-side-combinable aggregates end to end.
+    """
+    e = directed.where(F.col("src") != F.col("dst")).select("src", "dst")
+    pairs = (
+        e.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            (F.col("src") < F.col("dst")).alias("fwd"),
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.max("fwd").alias("has_fwd"),
+            F.max(~F.col("fwd")).alias("has_rev"),
+        )
+    )
+    n = (
+        e.select(F.explode(F.array("src", "dst")).alias("id"))
+        .agg(F.count_distinct("id").alias("n"))
+    )
+    counts = pairs.agg(
+        F.coalesce(
+            F.sum((F.col("has_fwd") & F.col("has_rev")).cast("long")),
+            F.lit(0),
+        ).alias("mutual"),
+        F.coalesce(
+            F.sum((F.col("has_fwd") != F.col("has_rev")).cast("long")),
+            F.lit(0),
+        ).alias("asymmetric"),
+    )
+    return counts.crossJoin(F.broadcast(n)).select(
+        "mutual",
+        "asymmetric",
+        (
+            F.col("n") * (F.col("n") - 1) / 2
+            - F.col("mutual")
+            - F.col("asymmetric")
+        ).cast("long").alias("null"),
+        F.when(
+            2 * F.col("mutual") + F.col("asymmetric") > 0,
+            2.0 * F.col("mutual")
+            / (2 * F.col("mutual") + F.col("asymmetric")),
+        ).otherwise(F.lit(0.0)).alias("reciprocity"),
+    )
+
+
 def degree_histogram(edges: DataFrame) -> DataFrame:
     """Histogram of vertex degrees: (degree, n_vertices).
 

@@ -237,3 +237,57 @@ def test_contract_graph_closes_lpa_coarsening(spark):
     # the coarse graph is a small connected graph over <= 4 supernodes
     n_super = labels.select("label").distinct().count()
     assert 1 <= sup.count() <= n_super * (n_super - 1) // 2
+
+
+# -- dyad census -------------------------------------------------------------
+
+
+def brute_dyads(pairs):
+    import itertools
+
+    pairs = {(a, b) for a, b in pairs if a != b}
+    nodes = sorted({v for e in pairs for v in e})
+    mutual = asym = 0
+    for a, b in itertools.combinations(nodes, 2):
+        fwd, rev = (a, b) in pairs, (b, a) in pairs
+        if fwd and rev:
+            mutual += 1
+        elif fwd or rev:
+            asym += 1
+    null = len(nodes) * (len(nodes) - 1) // 2 - mutual - asym
+    den = 2 * mutual + asym
+    return mutual, asym, null, (2.0 * mutual / den if den else 0.0)
+
+
+def test_dyad_census_golden(spark):
+    from linkgraph.graph.edges import dyad_census
+
+    # 1<->2 mutual, 1->3 asym, 4 isolated-but-touched via 4->1.
+    pairs = [(1, 2), (2, 1), (1, 3), (4, 1), (2, 2)]
+    r = dyad_census(edge_df(spark, pairs)).collect()[0]
+    want = brute_dyads(pairs)
+    assert (r["mutual"], r["asymmetric"], r["null"]) == want[:3]
+    assert abs(r["reciprocity"] - want[3]) < 1e-12
+
+
+def test_dyad_census_random(spark):
+    import random
+
+    from linkgraph.graph.edges import dyad_census
+
+    rng = random.Random(5)
+    pairs = list({(rng.randrange(25), rng.randrange(25)) for _ in range(120)})
+    r = dyad_census(edge_df(spark, pairs)).collect()[0]
+    want = brute_dyads(pairs)
+    assert (r["mutual"], r["asymmetric"], r["null"]) == want[:3]
+    assert abs(r["reciprocity"] - want[3]) < 1e-12
+
+
+def test_dyad_census_empty(spark):
+    from linkgraph.graph.edges import dyad_census
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    r = dyad_census(empty).collect()[0]
+    assert (r["mutual"], r["asymmetric"], r["null"], r["reciprocity"]) == (
+        0, 0, 0, 0.0
+    )
