@@ -72,3 +72,23 @@ def text_filter_pipeline(
         "n_ipv4",
         "n_phones",
     )
+
+
+def streaming_cm_sketch(
+    docs: DataFrame, col: str = "text", depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Running Count-Min sketch over a document stream.
+
+    The batch sketch (text/sketch.py::cm_sketch) is one additive
+    aggregate keyed by (row, bucket), so under Structured Streaming it
+    becomes a running frequency summary with PERFECTLY BOUNDED state:
+    at most depth*width counter rows in the state store, independent
+    of vocabulary size and stream length — the property that makes
+    Count-Min the standard streaming frequency structure. `complete`
+    output re-emits the full (tiny) sketch each micro-batch; estimates
+    join the latest emission exactly as in the batch path. No
+    watermark: counters are cumulative by design, nothing expires.
+    """
+    from linkgraph.text.sketch import cm_sketch
+
+    return cm_sketch(docs, col=col, depth=depth, width=width)

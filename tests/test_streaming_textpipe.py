@@ -52,3 +52,37 @@ def test_streaming_matches_batch(spark, tmp_path):
     # PII was redacted in the cleaned text
     assert "<EMAIL>" in got[4]["text_redacted"]
     assert got[4]["n_emails"] == 1
+
+
+def test_streaming_cm_sketch_matches_batch(spark, tmp_path):
+    from linkgraph.streaming.textpipe import streaming_cm_sketch
+    from linkgraph.text.sketch import cm_sketch
+
+    path = str(tmp_path / "sk_in")
+    for chunk in (DOCS[:2], DOCS[2:]):
+        spark.createDataFrame(chunk, DOCS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        time.sleep(1.1)
+
+    depth, width = 3, 32
+    streamed = streaming_cm_sketch(
+        stream_documents(spark, path), depth=depth, width=width
+    )
+    run_available_now(
+        streamed, "cm_sink", str(tmp_path / "sk_ck"), output_mode="complete"
+    )
+    got = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in spark.table("cm_sink").collect()
+    }
+    want = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cm_sketch(
+            spark.read.schema(DOCS_SCHEMA).parquet(path),
+            depth=depth,
+            width=width,
+        ).collect()
+    }
+    assert got == want
+    assert len(got) <= depth * width  # bounded state, vocab-independent
