@@ -1019,6 +1019,20 @@ def _q_coupling(spark, sf):
     )
 
 
+def _q_conductance(spark, sf):
+    from linkgraph.graph.modularity import community_conductance
+
+    edges = datasets.sparse_edges(spark, sf)
+    labels = label_propagation(edges, max_iter=20).labels
+    res = community_conductance(edges, labels)
+    return res.select(
+        "label",
+        "cut_edges",
+        "volume",
+        F.round("conductance", 6).alias("conductance"),
+    )
+
+
 def _q_dyad_census(spark, sf):
     from linkgraph.graph.edges import dyad_census
 
@@ -1367,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_jaccard": _q_edge_jaccard,
         "sparsify_local": _q_sparsify,
         "dyad_census": _q_dyad_census,
+        "community_conductance": _q_conductance,
         "link_prediction": _q_link_prediction,
         "bfs_distances": _q_bfs,
         "sssp_weighted": _q_sssp,
@@ -2249,6 +2264,29 @@ od AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src)
 SELECT p.a, p.b, p.couplings,
        round(p.couplings / sqrt(da.outdeg * db.outdeg), 6) AS cosine
 FROM p JOIN od da ON da.id = p.a JOIN od db ON db.id = p.b
+""",
+        # Per-community conductance of the LPA fixpoint partition —
+        # shares _LPA_BODY with label_propagation/partition_ari.
+        "community_conductance": f"""
+WITH RECURSIVE {_E_SPARSE}, {_LPA_BODY},
+m2 AS (SELECT 2 * count(*) AS v FROM e),
+deg AS (SELECT src AS id, count(*) AS degree FROM b GROUP BY src),
+vol AS (SELECT l.label, CAST(sum(d.degree) AS BIGINT) AS volume
+        FROM deg d JOIN lpa_final l ON l.id = d.id GROUP BY l.label),
+cute AS (SELECT ls.label AS la, ld.label AS lb FROM e
+         JOIN lpa_final ls ON ls.id = e.src
+         JOIN lpa_final ld ON ld.id = e.dst
+         WHERE ls.label <> ld.label),
+cut AS (SELECT label, count(*) AS cut_edges FROM
+        (SELECT la AS label FROM cute UNION ALL SELECT lb FROM cute)
+        GROUP BY label)
+SELECT v.label, coalesce(c.cut_edges, 0) AS cut_edges, v.volume,
+       round(CASE WHEN least(v.volume, (SELECT v FROM m2) - v.volume) > 0
+                  THEN coalesce(c.cut_edges, 0)
+                       / CAST(least(v.volume,
+                                    (SELECT v FROM m2) - v.volume) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS conductance
+FROM vol v LEFT JOIN cut c ON c.label = v.label
 """,
         # Dyad census (mutual/asymmetric/null + edge reciprocity) on
         # the supply digraph, whose overlapping integer id spaces give

@@ -98,6 +98,77 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def community_conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community conductance: (label, cut_edges, volume, conductance).
+
+    conductance(S) = cut(S) / min(vol(S), 2m - vol(S)) — the standard
+    cluster-quality measure (lower = better-separated; the sweep-cut
+    objective of localcluster.py, here evaluated per community of a
+    given labeling). vol(S) = sum of degrees in S; cut(S) = edges with
+    exactly one endpoint in S. Unlabeled vertices default to singleton
+    communities (their own id), matching community_stats.
+
+    Plan shape: the SAME two label joins as community_stats (cut from
+    the tagged edge list, volume from the degree aggregate), one 1-row
+    broadcast total — all map-side-combinable, no windows; a labeling
+    with millions of communities shuffles only (label, counters) rows.
+    Degenerate guard: communities with vol == 0 (isolated vertices
+    under a labeling that names them) get conductance 0.
+    """
+    e = edges.select("src", "dst")
+    lab = labels.select("id", "label")
+
+    ls = lab.select(F.col("id").alias("src"), F.col("label").alias("label_src"))
+    ld = lab.select(F.col("id").alias("dst"), F.col("label").alias("label_dst"))
+    tagged = e.join(ls, "src", "left").join(ld, "dst", "left").select(
+        F.coalesce("label_src", "src").alias("label_src"),
+        F.coalesce("label_dst", "dst").alias("label_dst"),
+    )
+    # A boundary edge contributes 1 to the cut of BOTH its communities.
+    cut = (
+        tagged.where(F.col("label_src") != F.col("label_dst"))
+        .select(
+            F.explode(F.array("label_src", "label_dst")).alias("label")
+        )
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cut_edges"))
+    )
+
+    b = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = b.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    vol = (
+        deg.join(lab, "id", "left")
+        .select(F.coalesce("label", "id").alias("label"), "degree")
+        .groupBy("label")
+        .agg(F.sum("degree").alias("volume"))
+    )
+    total = e.agg((2 * F.count(F.lit(1))).alias("_vol_total"))
+    return (
+        vol.join(cut, "label", "left")
+        .withColumn("cut_edges", F.coalesce("cut_edges", F.lit(0)))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "label",
+            "cut_edges",
+            "volume",
+            F.when(
+                F.least(F.col("volume"), F.col("_vol_total") - F.col("volume"))
+                > 0,
+                F.col("cut_edges")
+                / F.least(
+                    F.col("volume"), F.col("_vol_total") - F.col("volume")
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("conductance"),
+        )
+    )
+
+
 def contract_graph(
     edges: DataFrame,
     labels: DataFrame,

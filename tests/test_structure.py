@@ -291,3 +291,82 @@ def test_dyad_census_empty(spark):
     assert (r["mutual"], r["asymmetric"], r["null"], r["reciprocity"]) == (
         0, 0, 0, 0.0
     )
+
+
+# -- community conductance ---------------------------------------------------
+
+
+def brute_conductance(pairs, labels):
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    lab = {v: labels.get(v, v) for v in deg}
+    vol = defaultdict(int)
+    cut = defaultdict(int)
+    for v, d in deg.items():
+        vol[lab[v]] += d
+    for a, b in pairs:
+        if lab[a] != lab[b]:
+            cut[lab[a]] += 1
+            cut[lab[b]] += 1
+    m2 = 2 * len(pairs)
+    out = {}
+    for c in vol:
+        den = min(vol[c], m2 - vol[c])
+        out[c] = (cut[c], vol[c], cut[c] / den if den > 0 else 0.0)
+    return out
+
+
+def test_conductance_two_cliques_bridge(spark):
+    from linkgraph.graph.modularity import community_conductance
+
+    # Two triangles joined by one bridge edge; label by side.
+    pairs = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    labels = {1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 1}
+    got = {
+        r["label"]: (r["cut_edges"], r["volume"], r["conductance"])
+        for r in community_conductance(
+            edge_df(spark, pairs),
+            spark.createDataFrame(list(labels.items()), "id long, label long"),
+        ).collect()
+    }
+    want = brute_conductance(pairs, labels)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][:2] == want[k][:2]
+        assert abs(got[k][2] - want[k][2]) < 1e-12
+    # Each side: cut 1, vol 7, conductance 1/7.
+    assert got[0] == (1, 7, 1 / 7)
+
+
+def test_conductance_random_vs_brute(spark):
+    import random
+
+    from linkgraph.graph.modularity import community_conductance
+
+    rng = random.Random(3)
+    pairs = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(30), rng.randrange(30)) for _ in range(90)
+            )
+            if a != b
+        }
+    )
+    labels = {v: rng.randrange(4) for v in range(0, 30, 2)}  # half labeled
+    got = {
+        r["label"]: (r["cut_edges"], r["volume"], r["conductance"])
+        for r in community_conductance(
+            edge_df(spark, pairs),
+            spark.createDataFrame(list(labels.items()), "id long, label long"),
+        ).collect()
+    }
+    want = brute_conductance(pairs, labels)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][:2] == want[k][:2]
+        assert abs(got[k][2] - want[k][2]) < 1e-12
