@@ -1108,6 +1108,26 @@ def _q_term_frequencies(spark, sf):
     return term_frequencies(d, top_n=20)
 
 
+def _q_duplicate_spans(spark, sf):
+    from linkgraph.text.dupspans import duplicate_spans
+
+    d = datasets.load(spark, sf, "documents").select("doc_id", "text")
+    return duplicate_spans(d, n=8)
+
+
+def _q_duplicate_fraction(spark, sf):
+    from linkgraph.text.dupspans import duplicate_fraction
+
+    d = datasets.load(spark, sf, "documents").select("doc_id", "text")
+    res = duplicate_fraction(d, n=8)
+    return res.select(
+        "doc_id",
+        "n_tokens",
+        "dup_tokens",
+        F.round("dup_fraction", 6).alias("dup_fraction"),
+    )
+
+
 def _q_heavy_hitters(spark, sf):
     from linkgraph.text.sketch import heavy_hitters
 
@@ -1437,6 +1457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_pairs": _q_pmi,
         "term_frequencies": _q_term_frequencies,
         "heavy_hitters": _q_heavy_hitters,
+        "duplicate_spans": _q_duplicate_spans,
+        "duplicate_fraction": _q_duplicate_fraction,
         "corpus_stats": _q_corpus_stats,
         "unigram_lm": _q_unigram_lm,
         "quality_classifier": _q_quality_classifier,
@@ -3372,6 +3394,58 @@ SELECT rank, term, freq FROM r WHERE rank <= 20
         # Count-Min heavy hitters: bit-exact sketch replay (see
         # _heavy_hitters_oracle).
         "heavy_hitters": _heavy_hitters_oracle(),
+        # Duplicate n-gram spans (Lee et al. exact-substring dedup at
+        # word granularity, n=8): shingle, count gram occurrences,
+        # island-merge consecutive duplicated positions.
+        "duplicate_spans": r"""
+WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+             FROM documents WHERE length(trim(text)) > 0),
+sh AS (SELECT doc_id, i - 1 AS pos,
+              array_to_string(ws[i : i + 7], ' ') AS gram
+       FROM tok, unnest(range(1, len(ws) - 6)) AS g(i)),
+dup AS (SELECT gram FROM sh GROUP BY gram HAVING count(*) >= 2),
+dp AS (SELECT s.doc_id, s.pos FROM sh s
+       WHERE s.gram IN (SELECT gram FROM dup)),
+isl AS (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS k
+        FROM dp)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len
+FROM isl GROUP BY doc_id, k
+""",
+        # Per-doc duplicated-token mass from the same span algebra.
+        "duplicate_fraction": r"""
+WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+             FROM documents WHERE length(trim(text)) > 0),
+sh AS (SELECT doc_id, i - 1 AS pos,
+              array_to_string(ws[i : i + 7], ' ') AS gram
+       FROM tok, unnest(range(1, len(ws) - 6)) AS g(i)),
+dup AS (SELECT gram FROM sh GROUP BY gram HAVING count(*) >= 2),
+dp AS (SELECT s.doc_id, s.pos FROM sh s
+       WHERE s.gram IN (SELECT gram FROM dup)),
+isl AS (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS k
+        FROM dp),
+sp AS (SELECT doc_id, max(pos) - min(pos) + 8 AS span_len
+       FROM isl GROUP BY doc_id, k),
+per AS (SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_tokens
+        FROM sp GROUP BY doc_id),
+nt AS (SELECT doc_id,
+              CAST(CASE WHEN length(trim(text)) > 0
+                        THEN len(regexp_split_to_array(trim(lower(text)),
+                                                       '\s+'))
+                        ELSE 0 END AS BIGINT) AS n_tokens
+       FROM documents)
+SELECT nt.doc_id, nt.n_tokens,
+       coalesce(per.dup_tokens, 0) AS dup_tokens,
+       round(CASE WHEN nt.n_tokens > 0
+                  THEN coalesce(per.dup_tokens, 0)
+                       / CAST(nt.n_tokens AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_fraction
+FROM nt LEFT JOIN per ON per.doc_id = nt.doc_id
+""",
         # Zipf fit: population LS slope of ln(freq) on ln(rank) over the
         # top 40 terms (regr_slope == covar_pop / var_pop).
         "corpus_stats": r"""
