@@ -769,6 +769,20 @@ def _q_events_windows(spark, sf):
     return tumbling_window_counts(datasets.load(spark, sf, "events"), minutes=60)
 
 
+def _q_retention(spark, sf):
+    from linkgraph.events import retention_cohorts
+
+    # Day-granularity cohorts: the events testdata spans days, not
+    # months, so period_days=1 gives a value-rich retention matrix.
+    res = retention_cohorts(datasets.load(spark, sf, "events"), period_days=1)
+    return res.select(
+        F.col("cohort_start").cast("string").alias("cohort_start"),
+        "period_offset",
+        "n_users",
+        F.round("retention", 6).alias("retention"),
+    )
+
+
 def _q_events_trending(spark, sf):
     # 60-minute windows sliding every 15: each event lands in 4
     # windows; lift = count / trailing-4-window mean per event type.
@@ -1402,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparsify_local": _q_sparsify,
         "dyad_census": _q_dyad_census,
         "community_conductance": _q_conductance,
+        "retention_cohorts": _q_retention,
         "link_prediction": _q_link_prediction,
         "bfs_distances": _q_bfs,
         "sssp_weighted": _q_sssp,
@@ -2286,6 +2301,24 @@ od AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src)
 SELECT p.a, p.b, p.couplings,
        round(p.couplings / sqrt(da.outdeg * db.outdeg), 6) AS cosine
 FROM p JOIN od da ON da.id = p.a JOIN od db ON db.id = p.b
+""",
+        # Retention cohorts: epoch-anchored day buckets (session tz is
+        # UTC, so Spark's unix_timestamp div == DuckDB's epoch div).
+        "retention_cohorts": """
+WITH act AS (SELECT DISTINCT user_id,
+                    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS period
+             FROM events),
+fst AS (SELECT user_id, min(period) AS cohort FROM act GROUP BY user_id),
+sizes AS (SELECT cohort, count(*) AS cs FROM fst GROUP BY cohort),
+cells AS (SELECT f.cohort, a.period - f.cohort AS period_offset,
+                 count(*) AS n_users
+          FROM act a JOIN fst f ON f.user_id = a.user_id
+          GROUP BY f.cohort, a.period - f.cohort)
+SELECT CAST(DATE '1970-01-01' + CAST(c.cohort AS INTEGER) AS VARCHAR)
+         AS cohort_start,
+       c.period_offset, c.n_users,
+       round(c.n_users / CAST(s.cs AS DOUBLE), 6) AS retention
+FROM cells c JOIN sizes s ON s.cohort = c.cohort
 """,
         # Per-community conductance of the LPA fixpoint partition —
         # shares _LPA_BODY with label_propagation/partition_ari.

@@ -273,3 +273,53 @@ def event_type_funnel(events: DataFrame, steps: list[str]) -> DataFrame:
         )
         out = step_df if out is None else out.unionByName(step_df)
     return out
+
+
+def retention_cohorts(
+    events: DataFrame, period_days: int = 7
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity period,
+    tracked across later periods.
+
+    The standard product-analytics rollup: cohort(u) = the period
+    (default week = 7-day bucket from the epoch) of u's first event;
+    for each (cohort, offset) cell, n_users = distinct users of that
+    cohort active exactly `offset` periods later, and retention =
+    n_users / cohort size (offset 0 row == 1.0 by construction).
+
+    Returns (cohort_start, period_offset, n_users, retention) with
+    cohort_start a date.
+
+    Plan shape: one (user, period) distinct aggregate over the raw
+    events (map-side combinable — the only corpus-sized shuffle), a
+    per-user min for the cohort, one broadcast-sized join back
+    (user-period rows), then a count-distinct per (cohort, offset)
+    cell. Epoch-anchored integer periods (unix_ts div period) keep the
+    bucketing engine-independent — no calendar/timezone arithmetic.
+    """
+    per = (F.unix_timestamp("ts") / F.lit(86400 * period_days)).cast("long")
+    activity = events.select(
+        F.col("user_id"), per.alias("period")
+    ).distinct()
+    first = activity.groupBy("user_id").agg(F.min("period").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("_cohort_size")
+    )
+    cells = (
+        activity.join(first, "user_id")
+        .groupBy(
+            "cohort", (F.col("period") - F.col("cohort")).alias("period_offset")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort")
+        .select(
+            F.to_date(
+                F.timestamp_seconds(F.col("cohort") * 86400 * period_days)
+            ).alias("cohort_start"),
+            "period_offset",
+            "n_users",
+            (F.col("n_users") / F.col("_cohort_size")).alias("retention"),
+        )
+    )

@@ -226,3 +226,54 @@ def test_trending_lift_hand_computed(spark):
     n, base, lift = out[es0 + 900]
     assert (n, base, lift) == (8, 2.5, 3.2)
     assert lift > 1.0
+
+
+def test_retention_cohorts_brute(spark):
+    from linkgraph.events import retention_cohorts
+
+    # Users starting in different weeks with varying comebacks.
+    # minutes: week k begins at k*7*24*60 relative minutes from T0.
+    wk = 7 * 24 * 60
+    rows = [
+        (0 * wk, 1, "view", 1), (1 * wk, 1, "view", 1), (3 * wk, 1, "buy", 1),
+        (0 * wk + 5, 2, "view", 1), (1 * wk + 9, 2, "view", 1),
+        (0 * wk + 7, 3, "view", 1),
+        (1 * wk + 3, 4, "view", 1), (2 * wk + 3, 4, "view", 1),
+        (1 * wk + 3, 4, "click", 1),  # same user+week dup must not double
+    ]
+    df = ev(spark, rows)
+    got = {
+        (r["cohort_start"].isoformat(), r["period_offset"]): (
+            r["n_users"],
+            r["retention"],
+        )
+        for r in retention_cohorts(df, period_days=7).collect()
+    }
+
+    # brute replay on epoch-week buckets
+    import collections
+
+    epoch = dt.datetime(1970, 1, 1)
+    per = {}
+    for i, (m, u, t, v) in enumerate(rows):
+        ts = T0 + dt.timedelta(minutes=m)
+        p = int((ts - epoch).total_seconds()) // (86400 * 7)
+        per.setdefault(u, set()).add(p)
+    first = {u: min(ps) for u, ps in per.items()}
+    csize = collections.Counter(first.values())
+    cells = collections.Counter()
+    for u, ps in per.items():
+        for p in ps:
+            cells[(first[u], p - first[u])] += 1
+    want = {}
+    for (c, off), nu in cells.items():
+        start = (epoch + dt.timedelta(days=7 * c)).date().isoformat()
+        want[(start, off)] = (nu, nu / csize[c])
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) < 1e-12
+    # offset-0 cells retain everyone
+    for (s, off), (nu, rr) in got.items():
+        if off == 0:
+            assert rr == 1.0
