@@ -1122,6 +1122,13 @@ def _q_term_frequencies(spark, sf):
     return term_frequencies(d, top_n=20)
 
 
+def _q_rmat(spark, sf):
+    from linkgraph.ingest.rmat import rmat_edges
+
+    # Zero-input deterministic source: sf is unused by construction.
+    return rmat_edges(spark, scale=10, n_edges=2048, seed=42)
+
+
 def _q_duplicate_spans(spark, sf):
     from linkgraph.text.dupspans import duplicate_spans
 
@@ -1474,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "duplicate_spans": _q_duplicate_spans,
         "duplicate_fraction": _q_duplicate_fraction,
+        "rmat_graph": _q_rmat,
         "corpus_stats": _q_corpus_stats,
         "unigram_lm": _q_unigram_lm,
         "quality_classifier": _q_quality_classifier,
@@ -1723,6 +1731,35 @@ def _poly_sql(expr: str, mult: int, mod: int) -> str:
         f"pi -> ascii(substring({expr}, pi, 1))::BIGINT)), "
         f"(acc, c) -> (acc * {mult} + c) % {mod})"
     )
+
+
+def _rmat_oracle(scale: int = 10, n: int = 2048, seed: int = 42) -> str:
+    """rmat_graph in DuckDB: replay ingest/rmat.py's two-round
+    affine+square draw per (edge, level) via lateral column aliases,
+    then rebuild src/dst as bit sums (fold-by-doubling == sum of bits
+    shifted by scale-1-lvl). Bit-exact: same integer congruences, same
+    double division."""
+    from linkgraph.dedup import phash
+
+    a, b, c = 0.57, 0.19, 0.19
+    A, B, P = phash._SEED_A, phash._SEED_B, phash.P1
+    return f"""
+WITH base AS (SELECT unnest(range(0, {n})) AS i),
+lv AS (SELECT unnest(range(0, {scale})) AS lvl),
+draw AS (SELECT i, lvl,
+       (i * 1000003 + lvl * 7368787 + {seed}) % {P} AS x0,
+       ({A} * x0 + {B}) % {P} AS x1,
+       (x1 * x1 + lvl + 1) % {P} AS x2,
+       ({A} * x2 + {B}) % {P} AS x3,
+       ((x3 * x3 + i) % {P}) / {P}.0 AS u
+     FROM base CROSS JOIN lv)
+SELECT CAST(sum((CASE WHEN u >= {a + b} THEN 1 ELSE 0 END)
+             * (1 << ({scale} - 1 - lvl))) AS BIGINT) AS src,
+       CAST(sum((CASE WHEN (u >= {a} AND u < {a + b})
+                        OR u >= {a + b + c} THEN 1 ELSE 0 END)
+             * (1 << ({scale} - 1 - lvl))) AS BIGINT) AS dst
+FROM draw GROUP BY i
+"""
 
 
 def _heavy_hitters_oracle() -> str:
@@ -3427,6 +3464,9 @@ SELECT rank, term, freq FROM r WHERE rank <= 20
         # Count-Min heavy hitters: bit-exact sketch replay (see
         # _heavy_hitters_oracle).
         "heavy_hitters": _heavy_hitters_oracle(),
+        # R-MAT generator: bit-exact congruence-fold replay (see
+        # _rmat_oracle).
+        "rmat_graph": _rmat_oracle(),
         # Duplicate n-gram spans (Lee et al. exact-substring dedup at
         # word granularity, n=8): shingle, count gram occurrences,
         # island-merge consecutive duplicated positions.
