@@ -43,6 +43,13 @@ Modes (reference cites in parentheses):
   dicensus        directed triangle census of the raw digraph (scope extension)
   approxtri       DOULION sampled triangle estimate; --k = denominator of
                   the keep probability 1/k (scope extension)
+  salsa           SALSA hub/authority scores on the raw digraph (scope extension)
+  cocite          co-citation pairs; --k = min shared citers (scope extension)
+  coupling        bibliographic-coupling pairs; --k = min shared cites
+  sparsify        similarity-based local sparsification, e=0.5 (scope extension)
+  dyads           dyad census + reciprocity of the raw digraph (scope extension)
+  conductance     per-community conductance of the LPA partition
+  rmat            deterministic R-MAT generator; input ignored, --k = scale
 
 Input: either a parquet edge table (src, dst) or an edge-list text file
 ("<int><sep><int>" per line, Truss.scala:21-29); detected by extension.
@@ -78,6 +85,13 @@ def _read_edges(spark: SparkSession, path: str, sep: str) -> DataFrame:
 
 
 def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
+    if args.mode == "rmat":
+        # Generator mode: input path is ignored (pass "-"); --k is the
+        # log2 vertex-count scale, edge count = 16 * 2^scale.
+        from linkgraph.ingest.rmat import rmat_edges
+
+        return rmat_edges(spark, scale=max(args.k, 1))
+
     sep = _SEP.get(args.sep, args.sep)
     raw = _read_edges(spark, args.input, sep)
     und = E.canonicalize(raw)
@@ -240,6 +254,30 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         from linkgraph.graph.cliques import four_cliques
 
         return four_cliques(und)
+    if args.mode == "salsa":
+        from linkgraph.graph.salsa import salsa
+
+        return salsa(raw, max_iter=args.max_iter).scores
+    if args.mode == "cocite":
+        from linkgraph.graph.cocitation import co_citation
+
+        return co_citation(raw, min_count=args.k)
+    if args.mode == "coupling":
+        from linkgraph.graph.cocitation import bibliographic_coupling
+
+        return bibliographic_coupling(raw, min_count=args.k)
+    if args.mode == "sparsify":
+        from linkgraph.graph.sparsify import sparsify
+
+        return sparsify(und, e=0.5)
+    if args.mode == "dyads":
+        return E.dyad_census(raw)
+    if args.mode == "conductance":
+        from linkgraph.graph.modularity import community_conductance
+
+        return community_conductance(
+            und, label_propagation(und, max_iter=args.max_iter).labels
+        )
     if args.mode == "localcluster":
         from linkgraph.graph.localcluster import local_cluster
 

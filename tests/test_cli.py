@@ -139,3 +139,24 @@ def test_approxtri_mode(spark, mini_txt):
     sampled = run(_args("approxtri", mini_txt, k=2), spark).collect()[0]
     assert sampled["sampled_edges"] < exact["sampled_edges"]
     assert sampled["est_triangles"] == sampled["sampled_triangles"] * 8.0
+
+
+def test_round2c_modes(spark, mini_txt):
+    sal = run(_args("salsa", mini_txt, max_iter=5), spark)
+    assert set(sal.columns) == {"id", "hub", "auth"}
+    assert abs(sum(r["auth"] for r in sal.collect()) - 1.0) < 1e-9
+    cc = run(_args("cocite", mini_txt, k=1), spark)
+    assert set(cc.columns) == {"a", "b", "cocitations", "cosine"}
+    assert cc.count() > 0
+    bc = run(_args("coupling", mini_txt, k=1), spark)
+    assert set(bc.columns) == {"a", "b", "couplings", "cosine"}
+    sp = run(_args("sparsify", mini_txt), spark)
+    assert set(sp.columns) == {"src", "dst", "common", "jaccard"}
+    assert 0 < sp.count() <= 27
+    dy = run(_args("dyads", mini_txt), spark).collect()[0]
+    assert dy["mutual"] == 0 and dy["asymmetric"] == 27
+    cond = run(_args("conductance", mini_txt, max_iter=10), spark)
+    assert set(cond.columns) == {"label", "cut_edges", "volume", "conductance"}
+    rm = run(_args("rmat", "-", k=6), spark)
+    assert rm.count() == 16 * 64
+    assert set(rm.columns) == {"src", "dst"}
