@@ -1122,6 +1122,24 @@ def _q_term_frequencies(spark, sf):
     return term_frequencies(d, top_n=20)
 
 
+def _q_drift(spark, sf):
+    from linkgraph.text.drift import distribution_drift
+
+    d = datasets.load(spark, sf, "documents").select("doc_id", "n_chars")
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    cur = d.where(F.col("doc_id") % 2 == 1)
+    res = distribution_drift(ref, cur, "n_chars", n_buckets=10)
+    return res.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round("psi_term", 6).alias("psi_term"),
+        F.round("kl_term", 6).alias("kl_term"),
+    )
+
+
 def _q_rmat(spark, sf):
     from linkgraph.ingest.rmat import rmat_edges
 
@@ -1482,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": _q_duplicate_spans,
         "duplicate_fraction": _q_duplicate_fraction,
         "rmat_graph": _q_rmat,
+        "distribution_drift": _q_drift,
         "corpus_stats": _q_corpus_stats,
         "unigram_lm": _q_unigram_lm,
         "quality_classifier": _q_quality_classifier,
@@ -3467,6 +3486,45 @@ SELECT rank, term, freq FROM r WHERE rank <= 20
         # R-MAT generator: bit-exact congruence-fold replay (see
         # _rmat_oracle).
         "rmat_graph": _rmat_oracle(),
+        # PSI/KL drift of n_chars between even/odd doc slices:
+        # equal-width buckets on the reference range, eps-smoothed
+        # proportions — closed-form arithmetic, replayed exactly.
+        "distribution_drift": """
+WITH r AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+           WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+c AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+      WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
+bd AS (SELECT min(x) AS lo, max(x) AS hi FROM r),
+rb AS (SELECT CASE WHEN bd.hi > bd.lo
+              THEN least(9, greatest(0,
+                   CAST(floor((x - bd.lo) / (bd.hi - bd.lo) * 10) AS INT)))
+              ELSE 0 END AS bucket, count(*) AS n_ref
+       FROM r CROSS JOIN bd GROUP BY 1),
+cb AS (SELECT CASE WHEN bd.hi > bd.lo
+              THEN least(9, greatest(0,
+                   CAST(floor((x - bd.lo) / (bd.hi - bd.lo) * 10) AS INT)))
+              ELSE 0 END AS bucket, count(*) AS n_cur
+       FROM c CROSS JOIN bd GROUP BY 1),
+al AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bucket),
+j AS (SELECT al.bucket, coalesce(rb.n_ref, 0) AS n_ref,
+             coalesce(cb.n_cur, 0) AS n_cur
+      FROM al LEFT JOIN rb ON rb.bucket = al.bucket
+      LEFT JOIN cb ON cb.bucket = al.bucket),
+tt AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+SELECT j.bucket, j.n_ref, j.n_cur,
+       round((j.n_ref + 1e-6) / (tt.tr + 10 * 1e-6), 6) AS p_ref,
+       round((j.n_cur + 1e-6) / (tt.tc + 10 * 1e-6), 6) AS p_cur,
+       round(((j.n_ref + 1e-6) / (tt.tr + 10 * 1e-6)
+              - (j.n_cur + 1e-6) / (tt.tc + 10 * 1e-6))
+             * ln(((j.n_ref + 1e-6) / (tt.tr + 10 * 1e-6))
+                  / ((j.n_cur + 1e-6) / (tt.tc + 10 * 1e-6))), 6)
+         AS psi_term,
+       round(((j.n_ref + 1e-6) / (tt.tr + 10 * 1e-6))
+             * ln(((j.n_ref + 1e-6) / (tt.tr + 10 * 1e-6))
+                  / ((j.n_cur + 1e-6) / (tt.tc + 10 * 1e-6))), 6)
+         AS kl_term
+FROM j CROSS JOIN tt
+""",
         # Duplicate n-gram spans (Lee et al. exact-substring dedup at
         # word granularity, n=8): shingle, count gram occurrences,
         # island-merge consecutive duplicated positions.
