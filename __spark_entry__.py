@@ -1122,6 +1122,25 @@ def _q_term_frequencies(spark, sf):
     return term_frequencies(d, top_n=20)
 
 
+def _q_quantize(spark, sf):
+    from linkgraph.sim.quantize import reconstruction_stats
+
+    # float32 column cast up front: both engines then run the whole
+    # code/recon arithmetic in double (DuckDB would otherwise keep
+    # FLOAT through min/max and diverge in the last bits).
+    emb = datasets.load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    res = reconstruction_stats(emb)
+    return res.select(
+        "dim",
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        F.round("max_abs_err", 6).alias("max_abs_err"),
+        F.round("mse", 6).alias("mse"),
+    )
+
+
 def _q_drift(spark, sf):
     from linkgraph.text.drift import distribution_drift
 
@@ -1501,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_fraction": _q_duplicate_fraction,
         "rmat_graph": _q_rmat,
         "distribution_drift": _q_drift,
+        "embedding_quantization": _q_quantize,
         "corpus_stats": _q_corpus_stats,
         "unigram_lm": _q_unigram_lm,
         "quality_classifier": _q_quality_classifier,
@@ -3486,6 +3506,28 @@ SELECT rank, term, freq FROM r WHERE rank <= 20
         # R-MAT generator: bit-exact congruence-fold replay (see
         # _rmat_oracle).
         "rmat_graph": _rmat_oracle(),
+        # Int8-range scalar quantization round trip: replay the
+        # per-dim min-max code/reconstruction (floor(x*255+0.5) --
+        # engine-exact, unlike round()) and its error profile.
+        "embedding_quantization": """
+WITH ex0 AS (SELECT vec_id,
+                    CAST(unnest(range(len(embedding))) AS INT) AS dim,
+                    unnest(embedding) AS v0
+             FROM embeddings),
+ex AS (SELECT vec_id, dim, CAST(v0 AS DOUBLE) AS v FROM ex0),
+b AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM ex GROUP BY dim),
+e AS (SELECT ex.dim, b.lo, b.hi, ex.v,
+             CASE WHEN b.hi > b.lo
+                  THEN b.lo + least(255, greatest(0,
+                       CAST(floor((ex.v - b.lo) / (b.hi - b.lo) * 255 + 0.5)
+                            AS INT))) * (b.hi - b.lo) / 255
+                  ELSE b.lo END AS r
+      FROM ex JOIN b ON b.dim = ex.dim)
+SELECT dim, round(any_value(lo), 6) AS lo, round(any_value(hi), 6) AS hi,
+       round(max(abs(v - r)), 6) AS max_abs_err,
+       round(avg((v - r) * (v - r)), 6) AS mse
+FROM e GROUP BY dim
+""",
         # PSI/KL drift of n_chars between even/odd doc slices:
         # equal-width buckets on the reference range, eps-smoothed
         # proportions — closed-form arithmetic, replayed exactly.
