@@ -92,3 +92,42 @@ def streaming_cm_sketch(
     from linkgraph.text.sketch import cm_sketch
 
     return cm_sketch(docs, col=col, depth=depth, width=width)
+
+
+def streaming_bucket_counts(
+    docs: DataFrame,
+    lo: float,
+    hi: float,
+    col: str = "n_chars",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Running drift-bucket counts of a numeric column over a stream.
+
+    The streaming half of text/drift.py: the REFERENCE slice is static
+    by definition, so its bounds arrive as two driver scalars (no
+    stream-static join), and the stream reduces to one additive
+    aggregate with state bounded by n_buckets rows — the same
+    bounded-state argument as streaming_cm_sketch. Drain the sink and
+    feed the counts to the batch PSI/KL tail for the verdict.
+    """
+    from pyspark.sql import functions as F
+
+    x = F.col(col).cast("double")
+    if hi > lo:
+        b = F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((x - F.lit(lo)) / F.lit(hi - lo) * n_buckets).cast(
+                    "int"
+                ),
+            ),
+        )
+    else:
+        b = F.lit(0)
+    return (
+        docs.where(x.isNotNull())
+        .select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

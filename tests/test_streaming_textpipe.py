@@ -86,3 +86,48 @@ def test_streaming_cm_sketch_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) <= depth * width  # bounded state, vocab-independent
+
+
+def test_streaming_bucket_counts_match_batch(spark, tmp_path):
+    from linkgraph.streaming.textpipe import streaming_bucket_counts
+    from linkgraph.text.drift import distribution_drift
+
+    schema = "doc_id long, n_chars long"
+    rows = [(i, 40 + 13 * (i % 37)) for i in range(200)]
+    path = str(tmp_path / "drift_in")
+    for chunk in (rows[:120], rows[120:]):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        time.sleep(1.1)
+
+    ref = spark.createDataFrame(rows[:120], schema)
+    lo, hi = ref.selectExpr(
+        "min(cast(n_chars as double))", "max(cast(n_chars as double))"
+    ).collect()[0]
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    run_available_now(
+        streaming_bucket_counts(stream, lo, hi),
+        "drift_sink",
+        str(tmp_path / "drift_ck"),
+        output_mode="complete",
+    )
+    got = {r["bucket"]: r["n"] for r in spark.table("drift_sink").collect()}
+
+    full = spark.read.schema(schema).parquet(path)
+    want = {
+        r["bucket"]: r["n_ref"] + r["n_cur"]
+        for r in distribution_drift(
+            ref, full.join(ref, "doc_id", "left_anti"), "n_chars"
+        ).collect()
+        if r["n_ref"] + r["n_cur"] > 0
+    }
+    # batch drift buckets BOTH slices on ref bounds; the stream bucketed
+    # ALL rows on the same bounds -> totals must agree bucket-by-bucket.
+    assert got == want
+    assert len(got) <= 10
