@@ -1033,6 +1033,13 @@ def _q_coupling(spark, sf):
     )
 
 
+def _q_fiedler(spark, sf):
+    from linkgraph.graph.fiedler import fiedler as _fiedler
+
+    res = _fiedler(datasets.sparse_edges(spark, sf), max_iter=15)
+    return res.scores.select("id", F.round("fiedler", 6).alias("fiedler"))
+
+
 def _q_conductance(spark, sf):
     from linkgraph.graph.modularity import community_conductance
 
@@ -1461,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dyad_census": _q_dyad_census,
         "community_conductance": _q_conductance,
         "retention_cohorts": _q_retention,
+        "fiedler_vector": _q_fiedler,
         "link_prediction": _q_link_prediction,
         "bfs_distances": _q_bfs,
         "sssp_weighted": _q_sssp,
@@ -1770,6 +1778,49 @@ def _poly_sql(expr: str, mult: int, mod: int) -> str:
         f"pi -> ascii(substring({expr}, pi, 1))::BIGINT)), "
         f"(acc, c) -> (acc * {mult} + c) % {mod})"
     )
+
+
+def _fiedler_oracle(rounds: int = 15) -> str:
+    """fiedler_vector in DuckDB: replay graph/fiedler.py's deflated
+    power iteration — hash init, per-round (c - deg) * x + A x, mean
+    deflation, L2 norm — over the sparse bidirected edges."""
+    from linkgraph.dedup import phash
+
+    A, B, P = phash._SEED_A, phash._SEED_B, phash.P1
+    h = f"(({A} * (id % {P}) + {B}) % {P})"
+    return f"""
+WITH RECURSIVE {_E_SPARSE},
+deg AS (SELECT src AS id, count(*) AS degree FROM b GROUP BY src),
+shft AS (SELECT max(degree) + 1.0 AS cval FROM deg),
+ini AS (SELECT id, degree,
+               ((({h} * {h} + {B}) % {P}) / {P}.0 - 0.5) AS f
+        FROM deg),
+i2 AS (SELECT id, degree, f - (SELECT avg(f) FROM ini) AS f FROM ini),
+i3 AS (SELECT id, degree,
+              CASE WHEN (SELECT sqrt(sum(f * f)) FROM i2) > 0
+                   THEN f / (SELECT sqrt(sum(f * f)) FROM i2)
+                   ELSE 0.0 END AS f FROM i2),
+it(t, id, degree, f) AS (
+  SELECT 0, id, degree, f FROM i3
+  UNION ALL
+  SELECT * FROM (
+    WITH cur AS (SELECT id, degree, f FROM it),
+    nbr AS (SELECT b.dst AS id, sum(cur.f) AS ns
+            FROM cur JOIN b ON cur.id = b.src GROUP BY b.dst),
+    y AS (SELECT cu.id, cu.degree,
+                 ((SELECT cval FROM shft) - cu.degree) * cu.f
+                 + coalesce(n.ns, 0.0) AS f
+          FROM cur cu LEFT JOIN nbr n ON n.id = cu.id),
+    y2 AS (SELECT id, degree, f - (SELECT avg(f) FROM y) AS f FROM y),
+    y3 AS (SELECT id, degree,
+                  CASE WHEN (SELECT sqrt(sum(f * f)) FROM y2) > 0
+                       THEN f / (SELECT sqrt(sum(f * f)) FROM y2)
+                       ELSE 0.0 END AS f FROM y2)
+    SELECT (SELECT max(t) FROM it) + 1, id, degree, f FROM y3
+  ) s WHERE (SELECT max(t) FROM it) < {rounds}
+)
+SELECT id, round(f, 6) AS fiedler FROM it WHERE t = {rounds}
+"""
 
 
 def _rmat_oracle(scale: int = 10, n: int = 2048, seed: int = 42) -> str:
@@ -2378,6 +2429,10 @@ SELECT p.a, p.b, p.couplings,
        round(p.couplings / sqrt(da.outdeg * db.outdeg), 6) AS cosine
 FROM p JOIN od da ON da.id = p.a JOIN od db ON db.id = p.b
 """,
+        # Fiedler vector: deflated power iteration on cI - L, replayed
+        # as a recursive CTE (same round shape as hits/salsa oracles;
+        # hash init + center + L2 norm each round).
+        "fiedler_vector": _fiedler_oracle(rounds=15),
         # Retention cohorts: epoch-anchored day buckets (session tz is
         # UTC, so Spark's unix_timestamp div == DuckDB's epoch div).
         "retention_cohorts": """

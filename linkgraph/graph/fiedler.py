@@ -1,0 +1,163 @@
+"""Fiedler vector (algebraic connectivity eigenvector) and spectral
+bisection via deflated power iteration.
+
+Not in the reference (scope was triangles/truss/CC); semantics are the
+classic spectral partitioning of Fiedler 1973 / Pothen-Simon-Liou
+1990: the eigenvector of the graph Laplacian L = D - A for the
+second-smallest eigenvalue; its sign pattern is the canonical
+two-way cut, and sorting by it gives the sweep order that spectral
+clustering and nested-dissection orderings use.
+
+Power iteration finds DOMINANT eigenvectors, so we iterate the
+spectrally shifted operator  M = cI - L  with c = max_degree + 1
+(Gershgorin bounds L's spectrum by [0, 2*max_deg], and any
+c > lambda_max(L)/2 makes M's dominant eigenvalue c - lambda_2 once
+the trivial eigenvector is removed):
+
+  per round:  y(v) = (c - deg(v)) * x(v) + sum_{u~v} x(u)
+              y   -= mean(y)            (deflate the all-ones kernel)
+              x    = y / ||y||_2
+
+Every step is the eigencentrality superstep plus one extra 1-row
+broadcast aggregate (the mean), so the PLANS.md §E regime carries
+over unchanged: cached hash-partitioned bidirected adjacency, one
+map-side-combinable sum per round, lazy mean/norm crossJoins, one
+lineage-cutting action per round, O(|V|) state.
+
+Determinism contract: fixed rounds, deterministic hash init (the
+portable congruence of dedup/phash.py — a CONSTANT init would be
+exactly the deflated direction and converge to nothing), so the
+driver oracle replays the identical recursion in DuckDB.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from linkgraph.dedup.phash import P1, _SEED_A, _SEED_B
+
+
+@dataclass
+class FiedlerResult:
+    scores: DataFrame           # (id, fiedler), L2-normalized, mean ~0
+    iterations: int
+    shift: float                # the c in cI - L
+    counters: list[dict] = field(default_factory=list)
+
+
+def _center_normalize(df: DataFrame, col: str) -> DataFrame:
+    """Subtract the mean then divide by the L2 norm — both as 1-row
+    broadcast aggregates (no driver action)."""
+    m = df.agg(F.avg(F.col(col)).alias("_mu"))
+    centered = (
+        df.crossJoin(F.broadcast(m))
+        .withColumn(col, F.col(col) - F.col("_mu"))
+        .drop("_mu")
+    )
+    n = centered.agg(
+        F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_nrm")
+    )
+    return (
+        centered.crossJoin(F.broadcast(n))
+        .withColumn(
+            col,
+            F.when(F.col("_nrm") > 0, F.col(col) / F.col("_nrm")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .drop("_nrm")
+    )
+
+
+def fiedler(edges: DataFrame, max_iter: int = 40) -> FiedlerResult:
+    """Deflated power iteration for the Fiedler vector.
+
+    Returns (id, fiedler) over the undirected canonical edge table,
+    L2-normalized with zero mean; sign(fiedler) is the spectral
+    bipartition. Fixed ``max_iter`` rounds (the oracle contract). On a
+    disconnected graph the iterate converges to a difference of
+    component indicators instead — still the minimal cut (cut 0).
+    """
+    e = edges.select("src", "dst")
+    b = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = b.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    # One bounded pre-loop action: the Gershgorin shift.
+    max_deg = deg.agg(F.max("degree").alias("m")).collect()[0]["m"]
+    if max_deg is None:
+        spark = edges.sparkSession
+        return FiedlerResult(
+            scores=spark.createDataFrame([], "id long, fiedler double"),
+            iterations=0,
+            shift=0.0,
+        )
+    c = float(max_deg + 1)
+
+    # Deterministic pseudo-random init via the portable congruence —
+    # orthogonal-ish to the all-ones kernel after centering.
+    h = (F.lit(_SEED_A) * (F.col("id") % F.lit(P1)) + F.lit(_SEED_B)) % F.lit(
+        P1
+    )
+    h2 = (h * h + F.lit(_SEED_B)) % F.lit(P1)
+    x = _center_normalize(
+        deg.select(
+            "id",
+            "degree",
+            (h2.cast("double") / F.lit(float(P1)) - F.lit(0.5)).alias(
+                "fiedler"
+            ),
+        ),
+        "fiedler",
+    ).localCheckpoint(eager=True)
+
+    counters: list[dict] = []
+    it = 0
+    while it < max_iter:
+        t0 = time.time()
+        it += 1
+        nbr = (
+            x.select("id", "fiedler")
+            .join(b, x["id"] == b["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("fiedler").alias("_nsum"))
+        )
+        y = (
+            x.join(nbr, "id", "left")
+            .select(
+                "id",
+                "degree",
+                (
+                    (F.lit(c) - F.col("degree")) * F.col("fiedler")
+                    + F.coalesce("_nsum", F.lit(0.0))
+                ).alias("fiedler"),
+            )
+        )
+        x = _center_normalize(y, "fiedler").localCheckpoint(eager=True)
+        counters.append({"iteration": it, "wall_s": time.time() - t0})
+    b.unpersist()
+    return FiedlerResult(
+        scores=x.select("id", "fiedler"),
+        iterations=it,
+        shift=c,
+        counters=counters,
+    )
+
+
+def spectral_bisection(edges: DataFrame, max_iter: int = 40) -> DataFrame:
+    """(id, side) with side = 0/1 by Fiedler-vector sign (ties -> 0)."""
+    res = fiedler(edges, max_iter=max_iter)
+    return res.scores.select(
+        "id", (F.col("fiedler") > 0).cast("int").alias("side")
+    )
