@@ -50,6 +50,7 @@ Modes (reference cites in parentheses):
   dyads           dyad census + reciprocity of the raw digraph (scope extension)
   conductance     per-community conductance of the LPA partition
   rmat            deterministic R-MAT generator; input ignored, --k = scale
+  fiedler         Fiedler vector (spectral bisection by sign)
 
 Input: either a parquet edge table (src, dst) or an edge-list text file
 ("<int><sep><int>" per line, Truss.scala:21-29); detected by extension.
@@ -278,6 +279,12 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         return community_conductance(
             und, label_propagation(und, max_iter=args.max_iter).labels
         )
+    if args.mode == "fiedler":
+        from linkgraph.graph.fiedler import fiedler
+
+        res = fiedler(und, max_iter=args.max_iter)
+        print(f"fiedler shift c: {res.shift}", file=sys.stderr)
+        return res.scores
     if args.mode == "localcluster":
         from linkgraph.graph.localcluster import local_cluster
 

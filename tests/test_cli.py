@@ -160,3 +160,7 @@ def test_round2c_modes(spark, mini_txt):
     rm = run(_args("rmat", "-", k=6), spark)
     assert rm.count() == 16 * 64
     assert set(rm.columns) == {"src", "dst"}
+    fv = run(_args("fiedler", mini_txt, max_iter=8), spark)
+    assert set(fv.columns) == {"id", "fiedler"}
+    vals = [r["fiedler"] for r in fv.collect()]
+    assert abs(sum(v * v for v in vals) - 1.0) < 1e-9
