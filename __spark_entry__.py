@@ -769,6 +769,21 @@ def _q_events_windows(spark, sf):
     return tumbling_window_counts(datasets.load(spark, sf, "events"), minutes=60)
 
 
+def _q_approx_distinct(spark, sf):
+    from linkgraph.approx import approx_distinct
+
+    ev = datasets.load(spark, sf, "events")
+    est = approx_distinct(ev, ["event_type"], "user_id", log2m=6)
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_exact"))
+    )
+    return exact.join(est, "event_type").select(
+        "event_type", "n_exact", F.round("n_distinct_est", 4).alias("n_est")
+    )
+
+
 def _q_retention(spark, sf):
     from linkgraph.events import retention_cohorts
 
@@ -1469,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_conductance": _q_conductance,
         "retention_cohorts": _q_retention,
         "fiedler_vector": _q_fiedler,
+        "approx_distinct_users": _q_approx_distinct,
         "link_prediction": _q_link_prediction,
         "bfs_distances": _q_bfs,
         "sssp_weighted": _q_sssp,
@@ -2428,6 +2444,32 @@ od AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src)
 SELECT p.a, p.b, p.couplings,
        round(p.couplings / sqrt(da.outdeg * db.outdeg), 6) AS cosine
 FROM p JOIN od da ON da.id = p.a JOIN od db ON db.id = p.b
+""",
+        # Grouped HLL distinct-user estimates (m=64) next to exact
+        # counts — registers and estimates replayed bit-for-bit (the
+        # hyperball determinism contract at a different m).
+        "approx_distinct_users": f"""
+WITH ev AS (SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL),
+h AS (SELECT event_type,
+        {_hll_mix_sql('user_id', _HLL_SEED_A, _HLL_SEED_B)} % 64 AS j,
+        CASE WHEN {_hll_mix_sql('user_id', _HLL_A2, _HLL_B2)} = 0 THEN 31
+             ELSE 31 - length(bin({_hll_mix_sql('user_id', _HLL_A2, _HLL_B2)}))
+        END AS rho
+      FROM ev),
+rmax AS (SELECT event_type, j, max(rho) AS rho FROM h GROUP BY 1, 2),
+agg AS (SELECT event_type,
+          sum(1.0 / power(2.0, rho)) + (64 - count(*)) AS inv_sum,
+          (64 - count(*)) + count(*) FILTER (WHERE rho = 0) AS zeros
+        FROM rmax GROUP BY 1),
+ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+       FROM ev GROUP BY 1)
+SELECT ex.event_type, ex.n_exact,
+       round(CASE WHEN ({_hll_alpha(64) * 64 * 64!r} / inv_sum) <= 160.0
+                       AND zeros > 0
+                  THEN 64.0 * ln(64.0 / zeros)
+                  ELSE {_hll_alpha(64) * 64 * 64!r} / inv_sum END, 4)
+         AS n_est
+FROM ex JOIN agg ON agg.event_type = ex.event_type
 """,
         # Fiedler vector: deflated power iteration on cI - L, replayed
         # as a recursive CTE (same round shape as hits/salsa oracles;
