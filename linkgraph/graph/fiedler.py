@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from linkgraph.checkpoint import Checkpointer
 from linkgraph.dedup.phash import P1, _SEED_A, _SEED_B
 
 
@@ -74,7 +75,11 @@ def _center_normalize(df: DataFrame, col: str) -> DataFrame:
     )
 
 
-def fiedler(edges: DataFrame, max_iter: int = 40) -> FiedlerResult:
+def fiedler(
+    edges: DataFrame,
+    max_iter: int = 40,
+    checkpointer: Checkpointer | None = None,
+) -> FiedlerResult:
     """Deflated power iteration for the Fiedler vector.
 
     Returns (id, fiedler) over the undirected canonical edge table,
@@ -82,6 +87,11 @@ def fiedler(edges: DataFrame, max_iter: int = 40) -> FiedlerResult:
     bipartition. Fixed ``max_iter`` rounds (the oracle contract). On a
     disconnected graph the iterate converges to a difference of
     component indicators instead — still the minimal cut (cut 0).
+
+    With a durable `checkpointer` the loop resumes mid-iteration from
+    the last complete superstep: the (id, degree, fiedler) state is
+    everything a round reads, so the continuation is bit-identical to
+    an uninterrupted run (the hits.py/salsa.py resume contract).
     """
     e = edges.select("src", "dst")
     b = (
@@ -122,11 +132,19 @@ def fiedler(edges: DataFrame, max_iter: int = 40) -> FiedlerResult:
         "fiedler",
     ).localCheckpoint(eager=True)
 
+    ckpt = checkpointer
+    start_it = 1
+    if ckpt is not None:
+        latest = ckpt.latest()
+        if latest is not None:
+            loaded, _manifest = ckpt.load(latest)
+            x = loaded.select("id", "degree", "fiedler")
+            start_it = latest + 1
+
     counters: list[dict] = []
-    it = 0
-    while it < max_iter:
+    it = start_it - 1
+    for it in range(start_it, max_iter + 1):
         t0 = time.time()
-        it += 1
         nbr = (
             x.select("id", "fiedler")
             .join(b, x["id"] == b["src"])
@@ -144,7 +162,11 @@ def fiedler(edges: DataFrame, max_iter: int = 40) -> FiedlerResult:
                 ).alias("fiedler"),
             )
         )
-        x = _center_normalize(y, "fiedler").localCheckpoint(eager=True)
+        nxt = _center_normalize(y, "fiedler")
+        if ckpt is not None:
+            x = ckpt.save(nxt, it, eager=True)
+        else:
+            x = nxt.localCheckpoint(eager=True)
         counters.append({"iteration": it, "wall_s": time.time() - t0})
     b.unpersist()
     return FiedlerResult(

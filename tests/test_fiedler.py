@@ -84,3 +84,25 @@ def test_path_graph_matches_eigensolver(spark):
     assert np.abs(g - f).max() < 1e-6
     # monotone along the path (the classic P_n Fiedler profile)
     assert all(np.diff(g) > 0) or all(np.diff(g) < 0)
+
+
+def test_resume_matches_uninterrupted(spark, tmp_path):
+    from linkgraph.checkpoint import Checkpointer
+    from tests.conftest import gnp_graph
+
+    df = gnp_graph(spark, n=40, p=0.1, seed=21)
+    full = fiedler(
+        df, max_iter=8,
+        checkpointer=Checkpointer(spark, dir=str(tmp_path / "a"), job="fied"),
+    )
+    ckpt_b = Checkpointer(spark, dir=str(tmp_path / "b"), job="fied")
+    fiedler(df, max_iter=3, checkpointer=ckpt_b)  # "killed" after step 3
+    assert ckpt_b.latest() == 3
+    resumed = fiedler(
+        df, max_iter=8,
+        checkpointer=Checkpointer(spark, dir=str(tmp_path / "b"), job="fied"),
+    )
+    assert resumed.iterations == 8
+    a = {r["id"]: r["fiedler"] for r in full.scores.collect()}
+    b = {r["id"]: r["fiedler"] for r in resumed.scores.collect()}
+    assert a == b  # bit-identical continuation
