@@ -1055,6 +1055,21 @@ def _q_fiedler(spark, sf):
     return res.scores.select("id", F.round("fiedler", 6).alias("fiedler"))
 
 
+def _q_spectral_sweep(spark, sf):
+    from linkgraph.graph.fiedler import spectral_sweep
+
+    res = spectral_sweep(datasets.sparse_edges(spark, sf), max_iter=15)
+    return res.select(
+        "pos",
+        "id",
+        F.round("fiedler", 6).alias("fiedler"),
+        "degree",
+        "volume",
+        "cut_edges",
+        F.round("conductance", 6).alias("conductance"),
+    )
+
+
 def _q_conductance(spark, sf):
     from linkgraph.graph.modularity import community_conductance
 
@@ -1484,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_conductance": _q_conductance,
         "retention_cohorts": _q_retention,
         "fiedler_vector": _q_fiedler,
+        "spectral_sweep": _q_spectral_sweep,
         "approx_distinct_users": _q_approx_distinct,
         "link_prediction": _q_link_prediction,
         "bfs_distances": _q_bfs,
@@ -1796,10 +1812,12 @@ def _poly_sql(expr: str, mult: int, mod: int) -> str:
     )
 
 
-def _fiedler_oracle(rounds: int = 15) -> str:
-    """fiedler_vector in DuckDB: replay graph/fiedler.py's deflated
-    power iteration — hash init, per-round (c - deg) * x + A x, mean
-    deflation, L2 norm — over the sparse bidirected edges."""
+def _fiedler_cte(rounds: int = 15) -> str:
+    """Shared recursion body for the fiedler_vector / spectral_sweep
+    oracles: replay graph/fiedler.py's deflated power iteration — hash
+    init, per-round (c - deg) * x + A x, mean deflation, L2 norm —
+    over the sparse bidirected edges; ends with `it` holding the
+    per-round state."""
     from linkgraph.dedup import phash
 
     A, B, P = phash._SEED_A, phash._SEED_B, phash.P1
@@ -1835,8 +1853,49 @@ it(t, id, degree, f) AS (
     SELECT (SELECT max(t) FROM it) + 1, id, degree, f FROM y3
   ) s WHERE (SELECT max(t) FROM it) < {rounds}
 )
-SELECT id, round(f, 6) AS fiedler FROM it WHERE t = {rounds}
 """
+
+
+def _fiedler_oracle(rounds: int = 15) -> str:
+    return (
+        _fiedler_cte(rounds)
+        + f"SELECT id, round(f, 6) AS fiedler FROM it WHERE t = {rounds}\n"
+    )
+
+
+def _spectral_sweep_oracle(rounds: int = 15) -> str:
+    """spectral_sweep in DuckDB: the fiedler recursion, then positions
+    by (f, id) order, edge deltas (+1 at the earlier endpoint, -1
+    after the later), and window cumsums for volume/cut."""
+    return (
+        _fiedler_cte(rounds)
+        + f""",
+fv AS (SELECT id, degree, f FROM it WHERE t = {rounds}),
+ordv AS (SELECT id, degree, f,
+                row_number() OVER (ORDER BY f, id) AS pos
+         FROM fv),
+ed AS (SELECT least(pu.pos, pv.pos) AS pos, 1 AS d
+       FROM e JOIN ordv pu ON pu.id = e.src JOIN ordv pv ON pv.id = e.dst
+       UNION ALL
+       SELECT greatest(pu.pos, pv.pos), -1
+       FROM e JOIN ordv pu ON pu.id = e.src JOIN ordv pv ON pv.id = e.dst),
+dl AS (SELECT pos, sum(d) AS d FROM ed GROUP BY pos),
+tot AS (SELECT sum(degree) AS v FROM ordv),
+sw AS (SELECT o.pos, o.id, o.f, o.degree,
+              sum(o.degree) OVER (ORDER BY o.pos) AS volume,
+              sum(coalesce(dl.d, 0)) OVER (ORDER BY o.pos) AS cut_edges
+       FROM ordv o LEFT JOIN dl ON dl.pos = o.pos)
+SELECT pos, id, round(f, 6) AS fiedler, degree,
+       CAST(volume AS BIGINT) AS volume,
+       CAST(cut_edges AS BIGINT) AS cut_edges,
+       round(CASE WHEN least(volume, (SELECT v FROM tot) - volume) > 0
+                  THEN cut_edges
+                       / CAST(least(volume,
+                                    (SELECT v FROM tot) - volume) AS DOUBLE)
+             END, 6) AS conductance
+FROM sw
+"""
+    )
 
 
 def _rmat_oracle(scale: int = 10, n: int = 2048, seed: int = 42) -> str:
@@ -2475,6 +2534,9 @@ FROM ex JOIN agg ON agg.event_type = ex.event_type
         # as a recursive CTE (same round shape as hits/salsa oracles;
         # hash init + center + L2 norm each round).
         "fiedler_vector": _fiedler_oracle(rounds=15),
+        # Cheeger sweep over the Fiedler order: distributed prefix
+        # scan on the Spark side, window cumsums in the replay.
+        "spectral_sweep": _spectral_sweep_oracle(rounds=15),
         # Retention cohorts: epoch-anchored day buckets (session tz is
         # UTC, so Spark's unix_timestamp div == DuckDB's epoch div).
         "retention_cohorts": """

@@ -183,3 +183,85 @@ def spectral_bisection(edges: DataFrame, max_iter: int = 40) -> DataFrame:
     return res.scores.select(
         "id", (F.col("fiedler") > 0).cast("int").alias("side")
     )
+
+
+def spectral_sweep(edges: DataFrame, max_iter: int = 40) -> DataFrame:
+    """Conductance sweep over the Fiedler order — the Cheeger cut.
+
+    For every prefix of the vertices sorted by (fiedler, id), the
+    cut/volume/conductance of that prefix vs the rest. The global
+    minimum is the spectral partition with the Cheeger guarantee
+    (phi <= sqrt(2 * lambda_2)), tighter than the sign cut.
+
+    Returns (pos, id, fiedler, degree, volume, cut_edges, conductance)
+    with pos 1-based and conductance NULL on the full-graph prefix.
+
+    Scale shape: positions and BOTH running sums come from the
+    distributed two-phase prefix scan of text/packing.py (range
+    exchange + P-row driver prefix + one Arrow pass) — there is no
+    global-order window anywhere, unlike localcluster.py's sweep,
+    which may broadcast its order only because it is top-k-bounded.
+    The edge-delta trick is localcluster's: an edge adds +1 at the
+    earlier endpoint's position and -1 after the later one, so the
+    running sum of deltas IS the prefix cut.
+    """
+    from linkgraph.text.packing import with_global_offset
+
+    res = fiedler(edges, max_iter=max_iter)
+    e = edges.select("src", "dst")
+    b = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = b.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    verts = res.scores.join(deg, "id").withColumn("_one", F.lit(1))
+    pos = with_global_offset(verts, ["fiedler", "id"], "_one", "_p0").select(
+        "id",
+        "fiedler",
+        "degree",
+        (F.col("_p0") + 1).alias("pos"),
+    )
+
+    total_vol = deg.agg(F.sum("degree")).collect()[0][0] or 0
+
+    pu = pos.select(F.col("id").alias("src"), F.col("pos").alias("pu"))
+    pv = pos.select(F.col("id").alias("dst"), F.col("pos").alias("pv"))
+    ev = e.join(pu, "src").join(pv, "dst")
+    deltas = (
+        ev.select(F.least("pu", "pv").alias("pos"), F.lit(1).alias("d"))
+        .unionByName(
+            ev.select(F.greatest("pu", "pv").alias("pos"), F.lit(-1).alias("d"))
+        )
+        .groupBy("pos")
+        .agg(F.sum("d").alias("d"))
+    )
+    rows = pos.join(deltas, "pos", "left").select(
+        "pos",
+        "id",
+        "fiedler",
+        "degree",
+        F.coalesce("d", F.lit(0)).alias("_d"),
+    )
+    rows = with_global_offset(rows, ["pos"], "degree", "_vol0")
+    rows = with_global_offset(rows, ["pos"], "_d", "_cut0")
+    return rows.select(
+        "pos",
+        "id",
+        "fiedler",
+        "degree",
+        (F.col("_vol0") + F.col("degree")).alias("volume"),
+        (F.col("_cut0") + F.col("_d")).alias("cut_edges"),
+        F.when(
+            F.least(
+                F.col("_vol0") + F.col("degree"),
+                F.lit(total_vol) - F.col("_vol0") - F.col("degree"),
+            )
+            > 0,
+            (F.col("_cut0") + F.col("_d")).cast("double")
+            / F.least(
+                F.col("_vol0") + F.col("degree"),
+                F.lit(total_vol) - F.col("_vol0") - F.col("degree"),
+            ),
+        ).alias("conductance"),
+    )

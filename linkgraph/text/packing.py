@@ -65,23 +65,25 @@ def _cumsum_kernel(value_col: str, offsets: dict[int, int], out_col: str):
 
 def with_global_offset(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     value_col: str,
     out_col: str = "offset",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = exclusive prefix sum of ``value_col`` over
-    the global ``order_col`` order, without a single-task global sort.
+    the global ``order_col`` order (a column name or a list for
+    composite lexicographic order), without a single-task global sort.
 
     Two-phase scan: range exchange on the order key, P-row partial-sum
     aggregate -> driver prefix (bounded by #partitions), then one
     Arrow pass per partition carrying the running sum across batches.
     """
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     part = (
-        df.repartitionByRange(p, F.col(order_col))
-        .sortWithinPartitions(order_col)
+        df.repartitionByRange(p, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
         .withColumn(_PID, F.spark_partition_id())
         .persist()
     )

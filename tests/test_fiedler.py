@@ -106,3 +106,42 @@ def test_resume_matches_uninterrupted(spark, tmp_path):
     a = {r["id"]: r["fiedler"] for r in full.scores.collect()}
     b = {r["id"]: r["fiedler"] for r in resumed.scores.collect()}
     assert a == b  # bit-identical continuation
+
+
+def test_spectral_sweep_vs_brute(spark):
+    from linkgraph.graph.fiedler import spectral_sweep
+
+    k1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    pairs = k1 + k2 + [(3, 10)]
+    rows = spectral_sweep(edge_df(spark, pairs), max_iter=20).collect()
+
+    # brute replay from the engine's own fiedler values (ordering
+    # contract), cut/vol recomputed independently in python
+    order = sorted(rows, key=lambda r: (r["fiedler"], r["id"]))
+    assert [r["pos"] for r in order] == list(range(1, len(rows) + 1))
+    import collections
+
+    deg = collections.Counter()
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    total = sum(deg.values())
+    inset = set()
+    for want_pos, r in enumerate(order, start=1):
+        inset.add(r["id"])
+        vol = sum(deg[v] for v in inset)
+        cut = sum(1 for a, b in pairs if (a in inset) != (b in inset))
+        assert r["volume"] == vol, r
+        assert r["cut_edges"] == cut, r
+        den = min(vol, total - vol)
+        if den > 0:
+            assert abs(r["conductance"] - cut / den) < 1e-12
+        else:
+            assert r["conductance"] is None
+    # the minimum-conductance prefix is one whole clique: the bridge
+    best = min(
+        (r for r in rows if r["conductance"] is not None),
+        key=lambda r: (r["conductance"], r["pos"]),
+    )
+    assert best["pos"] == 4 and abs(best["conductance"] - 1 / 13) < 1e-12
