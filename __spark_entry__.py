@@ -1203,6 +1203,24 @@ def _q_rmat(spark, sf):
     return rmat_edges(spark, scale=10, n_edges=2048, seed=42)
 
 
+def _q_code_filters(spark, sf):
+    from linkgraph.text.codefilters import code_quality_features
+
+    d = datasets.load(spark, sf, "documents").select("doc_id", "text")
+    res = code_quality_features(d)
+    return res.select(
+        "doc_id",
+        "n_lines",
+        "n_blank",
+        "n_comment",
+        "max_line_len",
+        F.round("avg_line_len", 6).alias("avg_line_len"),
+        F.round("alnum_fraction", 6).alias("alnum_fraction"),
+        "autogen",
+        "keep",
+    )
+
+
 def _q_duplicate_spans(spark, sf):
     from linkgraph.text.dupspans import duplicate_spans
 
@@ -1556,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_pairs": _q_pmi,
         "term_frequencies": _q_term_frequencies,
         "heavy_hitters": _q_heavy_hitters,
+        "code_filter_stats": _q_code_filters,
         "duplicate_spans": _q_duplicate_spans,
         "duplicate_fraction": _q_duplicate_fraction,
         "rmat_graph": _q_rmat,
@@ -3725,6 +3744,44 @@ SELECT j.bucket, j.n_ref, j.n_cur,
                   / ((j.n_cur + 1e-6) / (tt.tc + 10 * 1e-6))), 6)
          AS kl_term
 FROM j CROSS JOIN tt
+""",
+        # StarCoder-style code-quality line metrics + keep verdict —
+        # pure list algebra, replayed verbatim.
+        "code_filter_stats": r"""
+WITH l AS (SELECT doc_id, text,
+                  string_split(text, chr(10)) AS lines
+           FROM documents),
+m AS (SELECT doc_id, text, lines,
+             list_transform(lines, x -> trim(x)) AS trimmed,
+             list_transform(lines, x -> length(x)) AS lens
+      FROM l)
+SELECT doc_id,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(list_filter(trimmed, x -> length(x) = 0)) AS BIGINT) AS n_blank,
+  CAST(len(list_filter(trimmed,
+       x -> starts_with(x, '#') OR starts_with(x, '//'))) AS BIGINT)
+    AS n_comment,
+  CAST(coalesce(list_max(lens), 0) AS BIGINT) AS max_line_len,
+  round(CASE WHEN len(lines) > 0
+             THEN list_sum(lens) / CAST(len(lines) AS DOUBLE)
+             ELSE 0.0 END, 6) AS avg_line_len,
+  round(CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[^0-9A-Za-z]', '', 'g'))
+                  / CAST(length(text) AS DOUBLE)
+             ELSE 0.0 END, 6) AS alnum_fraction,
+  regexp_matches(lower(text), 'auto-generated|do not edit') AS autogen,
+  (length(text) > 0
+   AND coalesce(list_max(lens), 0) <= 1000
+   AND (CASE WHEN len(lines) > 0
+             THEN list_sum(lens) / CAST(len(lines) AS DOUBLE)
+             ELSE 0.0 END) <= 100
+   AND (CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[^0-9A-Za-z]', '', 'g'))
+                  / CAST(length(text) AS DOUBLE)
+             ELSE 0.0 END) >= 0.25
+   AND NOT regexp_matches(lower(text), 'auto-generated|do not edit'))
+    AS keep
+FROM m
 """,
         # Duplicate n-gram spans (Lee et al. exact-substring dedup at
         # word granularity, n=8): shingle, count gram occurrences,
