@@ -91,7 +91,9 @@ from linkgraph.sim.kmeans import kmeans
 from linkgraph.sim.pca import embedding_covariance, pca_top_component
 from linkgraph.dedup.paragraphs import paragraph_dedup
 from linkgraph.text.analysis import language_id, quality_features, token_stats
+from linkgraph.approx import approx_quantiles
 from linkgraph.text.c4 import c4_filters
+from linkgraph.text.gopher import gopher_filters
 from linkgraph.text.classifier import (
     logistic_scores,
     quality_features_for_lr,
@@ -770,7 +772,7 @@ def _q_events_windows(spark, sf):
 
 
 def _q_approx_distinct(spark, sf):
-    from linkgraph.approx import approx_distinct
+    from linkgraph.approx import approx_distinct  # noqa: F811
 
     ev = datasets.load(spark, sf, "events")
     est = approx_distinct(ev, ["event_type"], "user_id", log2m=6)
@@ -1474,6 +1476,51 @@ def _q_eccentricity(spark, sf):
     return eccentricity(edges, roots, max_depth=15)
 
 
+def _q_approx_quantiles(spark, sf):
+    # Per-language length quantiles from the bounded histogram sketch;
+    # the oracle replays the bucket/cumulative/interpolation algebra
+    # bit-for-bit (pure IEEE double ops on both engines).
+    d = datasets.load(spark, sf, "documents")
+    out = approx_quantiles(
+        d, "n_chars", [0.25, 0.5, 0.9, 0.99], ["lang"], n_buckets=256
+    )
+    return out.select(
+        "lang", "q", "rank", F.round("quantile_est", 6).alias("quantile_est")
+    )
+
+
+def _q_gopher_filters(spark, sf):
+    # Same line-structure synthesis trick as _q_c4_filters: the
+    # synthetic docs are single-line word soup, so both sides first
+    # make bullet lines (' the ' -> newline + '- ') and ellipsis line
+    # ends (' data ' -> '...' + newline) with literal replaces, then
+    # run the Gopher rules over identical structure.
+    d = datasets.load(spark, sf, "documents").select("doc_id", "text")
+    t = F.replace(F.col("text"), F.lit(" the "), F.lit("\n- "))
+    t = F.replace(t, F.lit(" data "), F.lit("...\n"))
+    # Strip leading/trailing whitespace (incl. synthesized newlines) so
+    # neither engine sees empty boundary tokens from the \s+ word split.
+    t = F.regexp_replace(t, r"^\s+|\s+$", "")
+    feats = gopher_filters(
+        d.select("doc_id", t.alias("text")),
+        min_words=30,
+        max_bullet_ratio=0.5,
+        max_ellipsis_ratio=0.2,
+        min_stop_hits=1,
+    )
+    return feats.select(
+        "doc_id",
+        "g_n_words",
+        "g_mean_word_len",
+        "g_symbol_ratio",
+        "g_bullet_ratio",
+        "g_ellipsis_ratio",
+        "g_alpha_word_ratio",
+        "g_stop_hits",
+        F.col("keep_gopher").cast("int").alias("keep_gopher"),
+    )
+
+
 def _q_media_features(spark, sf):
     # Scalar projection: the driver's canonicalizer cannot sort/hash an
     # array column, so posexplode the feature vector to one row per
@@ -1519,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fiedler_vector": _q_fiedler,
         "spectral_sweep": _q_spectral_sweep,
         "approx_distinct_users": _q_approx_distinct,
+        "approx_quantiles": _q_approx_quantiles,
         "link_prediction": _q_link_prediction,
         "bfs_distances": _q_bfs,
         "sssp_weighted": _q_sssp,
@@ -1585,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "dsir_resample": _q_dsir_resample,
         "c4_filter_stats": _q_c4_filters,
+        "gopher_filter_stats": _q_gopher_filters,
         "paragraph_dedup": _q_paragraph_dedup,
         "pii_redaction": _q_pii,
         "community_modularity": _q_modularity,
@@ -2548,6 +2597,38 @@ SELECT ex.event_type, ex.n_exact,
                   ELSE {_hll_alpha(64) * 64 * 64!r} / inv_sum END, 4)
          AS n_est
 FROM ex JOIN agg ON agg.event_type = ex.event_type
+""",
+        # Histogram-sketch quantiles: the bucket/cumulative/interpolate
+        # algebra replayed bit-for-bit (IEEE double ops in the same
+        # order; integer/int division is float division in both).
+        "approx_quantiles": """
+WITH bnd AS (SELECT lang, min(CAST(n_chars AS DOUBLE)) AS lo,
+                    max(CAST(n_chars AS DOUBLE)) AS hi,
+                    count(*) AS n
+             FROM documents WHERE n_chars IS NOT NULL GROUP BY lang),
+x AS (SELECT d.lang, CAST(d.n_chars AS DOUBLE) AS v, b.lo, b.hi
+      FROM documents d JOIN bnd b USING (lang) WHERE d.n_chars IS NOT NULL),
+c AS (SELECT lang,
+        CASE WHEN hi = lo THEN 0
+             ELSE CAST(least(255, floor((v - lo) / (hi - lo) * 256))
+                  AS BIGINT) END AS b,
+        count(*) AS cnt
+      FROM x GROUP BY 1, 2),
+cum AS (SELECT lang, b, cnt,
+          sum(cnt) OVER (PARTITION BY lang ORDER BY b
+                         ROWS UNBOUNDED PRECEDING) AS cum
+        FROM c),
+qv AS (SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q),
+t AS (SELECT cum.lang, cum.b, cum.cnt, cum.cum, bnd.lo, bnd.hi, qv.q,
+        greatest(1, CAST(ceil(qv.q * bnd.n) AS BIGINT)) AS r
+      FROM cum JOIN bnd USING (lang) CROSS JOIN qv),
+hit AS (SELECT *, row_number() OVER (PARTITION BY lang, q ORDER BY b) AS rn
+        FROM t WHERE cum >= r)
+SELECT lang, q, r AS rank,
+       round(CASE WHEN hi = lo THEN lo
+             ELSE lo + (b + (r - (cum - cnt)) / cnt) * ((hi - lo) / 256.0)
+             END, 6) AS quantile_est
+FROM hit WHERE rn = 1
 """,
         # Fiedler vector: deflated power iteration on cI - L, replayed
         # as a recursive CTE (same round shape as hits/salsa oracles;
@@ -4010,6 +4091,60 @@ SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
        text_clean
 FROM s
 """,
+        # Gopher (Rae et al. A1.1) whole-document shape rules over the
+        # identically-synthesized bullet/ellipsis line structure.
+        "gopher_filter_stats": r"""
+WITH tt AS (SELECT doc_id,
+              regexp_replace(replace(replace(text, ' the ', chr(10) || '- '),
+                             ' data ', '...' || chr(10)),
+                             '^\s+|\s+$', '', 'g') AS t
+            FROM documents),
+w AS (SELECT doc_id, t,
+        CASE WHEN length(trim(t)) = 0 THEN CAST([] AS VARCHAR[])
+             ELSE regexp_split_to_array(trim(t), '\s+') END AS words,
+        list_transform(
+          list_filter(string_split(t, chr(10)), x -> trim(x) != ''),
+          x -> trim(x)) AS lines
+      FROM tt),
+s AS (SELECT doc_id,
+        CAST(len(words) AS BIGINT) AS g_n_words,
+        len(lines) AS n_lines,
+        round(CASE WHEN len(words) = 0 THEN 0.0
+              ELSE list_sum(list_transform(words, x -> length(x)))
+                   / CAST(len(words) AS DOUBLE) END, 6) AS g_mean_word_len,
+        round(CASE WHEN len(words) = 0 THEN 0.0
+              ELSE ((length(t) - length(replace(t, '#', '')))
+                    + len(regexp_extract_all(t, '\.\.\.|…', 0)))
+                   / CAST(len(words) AS DOUBLE) END, 6) AS g_symbol_ratio,
+        round(CASE WHEN len(lines) = 0 THEN 0.0
+              ELSE len(list_filter(lines, x ->
+                     starts_with(x, '- ') OR starts_with(x, '* ')
+                     OR starts_with(x, '•')))
+                   / CAST(len(lines) AS DOUBLE) END, 6) AS g_bullet_ratio,
+        round(CASE WHEN len(lines) = 0 THEN 0.0
+              ELSE len(list_filter(lines, x ->
+                     ends_with(x, '...') OR ends_with(x, '…')))
+                   / CAST(len(lines) AS DOUBLE) END, 6) AS g_ellipsis_ratio,
+        round(CASE WHEN len(words) = 0 THEN 0.0
+              ELSE len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                   / CAST(len(words) AS DOUBLE) END, 6) AS g_alpha_word_ratio,
+        CAST(list_sum(list_transform(
+               ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+               sw -> CASE WHEN list_contains(
+                              list_transform(words, x -> lower(x)), sw)
+                          THEN 1 ELSE 0 END)) AS BIGINT) AS g_stop_hits
+      FROM w)
+SELECT doc_id, g_n_words, g_mean_word_len, g_symbol_ratio, g_bullet_ratio,
+       g_ellipsis_ratio, g_alpha_word_ratio, g_stop_hits,
+       CAST((g_n_words BETWEEN 30 AND 100000
+             AND g_mean_word_len BETWEEN 3.0 AND 10.0
+             AND g_symbol_ratio <= 0.1
+             AND g_bullet_ratio <= 0.5
+             AND g_ellipsis_ratio <= 0.2
+             AND g_alpha_word_ratio >= 0.8
+             AND g_stop_hits >= 1) AS INT) AS keep_gopher
+FROM s
+""",
         # Corpus-global paragraph dedup: first (doc, pos) occurrence of
         # each distinct trimmed paragraph survives; docs rebuilt in
         # paragraph order.
@@ -4210,6 +4345,4 @@ FROM dist GROUP BY root
         # embedding_lsh likewise runs on portable deterministic
         # hyperplanes with sequential IEEE folds (bit-identical signs).
         "embedding_lsh": _embedding_lsh_oracle(),
-        # no oracle: media_features only (decode stub is a seeded NumPy
-        # RNG — engine-external by design; plumbing is rows-checked).
     }

@@ -1,4 +1,5 @@
-"""Approximate distinct counts per group (HyperLogLog).
+"""Approximate distinct counts (HyperLogLog) and quantiles (bounded
+equi-width histogram) per group.
 
 Not in the reference; this generalizes the portable HLL sketch built
 for hyperball.py (Flajolet et al. 2007, with linear-counting small-
@@ -70,3 +71,95 @@ def approx_distinct(
         F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("_zeros")),
     ).otherwise(raw)
     return agg.select(*group_cols, est.alias("n_distinct_est"))
+
+
+def approx_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float],
+    group_cols: list[str] | None = None,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """(group_cols..., q, rank, quantile_est) per requested quantile.
+
+    Histogram-sketch quantiles: exact quantiles need a full sort (or
+    Spark's percentile, which collects all values per group); this
+    instead keeps <= ``n_buckets`` equi-width counters per group no
+    matter the input size, so at 100 TB the shuffle carries counter
+    rows, not values. Two bounded aggregates end to end:
+
+      1. per-group (min, max, n) — a few rows, broadcast back;
+      2. per-(group, bucket) counts — map-side combinable, <= n_buckets
+         survivors per group; the quantile is read off the cumulative
+         histogram (window over the bounded counter rows, never over
+         data) with linear interpolation inside the hit bucket.
+
+    Error <= one bucket width = (max-min)/n_buckets; exact for integer
+    domains narrower than ``n_buckets``. Rank semantics: the estimate
+    targets the ceil(q*n)-th smallest value (q=0 clamps to rank 1).
+    Every arithmetic step is plain IEEE double algebra, so a SQL oracle
+    replays the estimate bit-for-bit.
+    """
+    gc = list(group_cols or [])
+    nb = int(n_buckets)
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(*gc, v.alias("_v"))
+    bounds = base.groupBy(*gc).agg(
+        F.min("_v").alias("_lo"),
+        F.max("_v").alias("_hi"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    joined = (
+        base.join(F.broadcast(bounds), on=gc)
+        if gc
+        else base.crossJoin(F.broadcast(bounds))
+    )
+    bucket = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(nb - 1),
+            F.floor(
+                (F.col("_v") - F.col("_lo"))
+                / (F.col("_hi") - F.col("_lo"))
+                * F.lit(nb)
+            ),
+        )
+    )
+    counts = joined.groupBy(*gc, bucket.alias("_b")).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*gc).orderBy("_b")
+        if gc
+        else Window.partitionBy(F.lit(1)).orderBy("_b")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = counts.withColumn("_cum", F.sum("_cnt").over(w))
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    tagged = (
+        cum.join(F.broadcast(bounds), on=gc)
+        if gc
+        else cum.crossJoin(F.broadcast(bounds))
+    ).crossJoin(F.broadcast(qdf))
+    r = F.greatest(F.lit(1).cast("long"), F.ceil(F.col("q") * F.col("_n")))
+    hit = (
+        tagged.withColumn("_r", r)
+        .where(F.col("_cum") >= F.col("_r"))
+        .groupBy(*gc, "q")
+        .agg(
+            F.min(F.struct("_b", "_cum", "_cnt", "_lo", "_hi", "_r")).alias("_s")
+        )
+        .select(*gc, "q", "_s.*")
+    )
+    est = F.when(F.col("_hi") == F.col("_lo"), F.col("_lo")).otherwise(
+        F.col("_lo")
+        + (
+            F.col("_b")
+            + (F.col("_r") - (F.col("_cum") - F.col("_cnt"))) / F.col("_cnt")
+        )
+        * ((F.col("_hi") - F.col("_lo")) / F.lit(float(nb)))
+    )
+    return hit.select(
+        *gc, "q", F.col("_r").alias("rank"), est.alias("quantile_est")
+    )

@@ -67,3 +67,80 @@ def test_string_values_and_nulls(spark):
     }
     # tiny cardinalities sit in the linear-counting regime: exact-ish
     assert round(got["a"]) == 2 and round(got["b"]) == 1
+
+
+# ---------------------------------------------------------------- quantiles
+
+
+def py_quantiles(values, qs, nb):
+    """Exact replay of approx_quantiles' histogram algebra."""
+    import math as _m
+
+    lo, hi, n = float(min(values)), float(max(values)), len(values)
+    counts = {}
+    for v in values:
+        b = 0 if hi == lo else min(nb - 1, int(_m.floor((float(v) - lo) / (hi - lo) * nb)))
+        counts[b] = counts.get(b, 0) + 1
+    out = {}
+    for q in qs:
+        r = max(1, _m.ceil(q * n))
+        cum = 0
+        for b in sorted(counts):
+            cum += counts[b]
+            if cum >= r:
+                if hi == lo:
+                    out[q] = (r, lo)
+                else:
+                    frac = (r - (cum - counts[b])) / counts[b]
+                    out[q] = (r, lo + (b + frac) * ((hi - lo) / nb))
+                break
+    return out
+
+
+def test_quantiles_replay(spark):
+    from linkgraph.approx import approx_quantiles
+
+    vals = [((i * 37) % 101) * 0.5 + (7.0 if i % 3 == 0 else 0.0) for i in range(400)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    qs = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    got = {
+        r["q"]: (r["rank"], r["quantile_est"])
+        for r in approx_quantiles(df, "x", qs, n_buckets=64).collect()
+    }
+    want = py_quantiles(vals, qs, 64)
+    assert set(got) == set(want)
+    for q in qs:
+        assert got[q][0] == want[q][0], q
+        assert abs(got[q][1] - want[q][1]) < 1e-12, q
+
+
+def test_quantiles_exact_on_narrow_int_domain(spark):
+    """Integer domain narrower than the bucket count -> exact ranks."""
+    from linkgraph.approx import approx_quantiles
+
+    vals = [i % 50 for i in range(1000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x int")
+    got = {
+        r["q"]: r["quantile_est"]
+        for r in approx_quantiles(df, "x", [0.5, 0.98], n_buckets=1024).collect()
+    }
+    s = sorted(vals)
+    import math as _m
+
+    for q, est in got.items():
+        exact = s[max(1, _m.ceil(q * len(s))) - 1]
+        # estimate lands inside the exact value's bucket (width < 0.05)
+        assert abs(est - exact) <= 49 / 1024 + 1e-9, (q, est, exact)
+
+
+def test_quantiles_grouped_and_degenerate(spark):
+    from linkgraph.approx import approx_quantiles
+
+    rows = [("a", float(i)) for i in range(100)] + [("b", 5.0)] * 10
+    df = spark.createDataFrame(rows, "grp string, x double")
+    got = {
+        (r["grp"], r["q"]): r["quantile_est"]
+        for r in approx_quantiles(df, "x", [0.5], ["grp"], n_buckets=32).collect()
+    }
+    assert abs(got[("a", 0.5)] - py_quantiles([float(i) for i in range(100)], [0.5], 32)[0.5][1]) < 1e-12
+    assert got[("b", 0.5)] == 5.0  # degenerate hi == lo group
