@@ -114,6 +114,7 @@ from linkgraph.sampling import (
     weighted_sample,
 )
 from linkgraph.dedup.exact import deduplicate_against
+from linkgraph.graph.neighagg import neighbor_agg
 from linkgraph.graph.projection import butterfly_count, cooccurrence_similarity
 from linkgraph.graph.summary import graph_summary
 
@@ -1476,6 +1477,34 @@ def _q_eccentricity(spark, sf):
     return eccentricity(edges, roots, max_depth=15)
 
 
+def _q_neighbor_agg(spark, sf):
+    # 2-hop mean feature smoothing over the truss graph; features are
+    # the portable congruence family per (id, dim), so both engines
+    # start from bit-identical vectors and the hop means agree to
+    # ~1e-13 (well under the 6-decimal hash canon).
+    from linkgraph.dedup import phash
+
+    edges = datasets.co_purchase_edges(spark, sf, min_quantity=40)
+    ids = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    feat = F.array(
+        *[
+            (
+                (F.lit(a) * (F.col("id") % phash.P1) + F.lit(b)) % phash.P1
+            )
+            / F.lit(float(phash.P1))
+            - 0.5
+            for a, b in (phash.sig_seeds(j) for j in range(8))
+        ]
+    )
+    fdf = ids.select("id", feat.alias("feature"))
+    out = neighbor_agg(edges, fdf, hops=2, agg="mean")
+    return out.select("id", "dim", F.round("value", 6).alias("value"))
+
+
 def _q_approx_quantiles(spark, sf):
     # Per-language length quantiles from the bounded histogram sketch;
     # the oracle replays the bucket/cumulative/interpolation algebra
@@ -1639,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_modularity": _q_modularity,
         "louvain_communities": _q_louvain,
         "square_count": _q_square_count,
+        "neighbor_agg": _q_neighbor_agg,
         "clique4": _q_clique4,
         "item_similarity": _q_item_similarity,
         "butterfly_count": _q_butterflies,
@@ -2025,6 +2055,32 @@ est AS (SELECT t.term, min(coalesce(sk.cnt, 0)) AS cm_count
         GROUP BY t.term)
 SELECT t.rank, t.term, t.freq, e.cm_count
 FROM top t JOIN est e ON e.term = t.term
+"""
+
+
+def _neighagg_oracle() -> str:
+    """neighbor_agg in DuckDB: same congruence start vectors per
+    (id, dim), then two unrolled hop rounds of the bidirected
+    join + per-(id, dim) mean. Mirrors graph/neighagg.py."""
+    from linkgraph.dedup import phash
+
+    seeds = ", ".join(
+        "({}, {}, {})".format(j, *phash.sig_seeds(j)) for j in range(8)
+    )
+    return f"""
+WITH {_E_TRUSS},
+b AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+v AS (SELECT DISTINCT src AS id FROM b),
+sd AS (SELECT * FROM (VALUES {seeds}) s(dim, a, b2)),
+f0 AS (SELECT v.id, sd.dim,
+         ((sd.a * (v.id % {phash.P1}) + sd.b2) % {phash.P1})
+         / {float(phash.P1)} - 0.5 AS value
+       FROM v CROSS JOIN sd),
+h1 AS (SELECT b.dst AS id, f.dim, avg(f.value) AS value
+       FROM b JOIN f0 f ON f.id = b.src GROUP BY 1, 2),
+h2 AS (SELECT b.dst AS id, f.dim, avg(f.value) AS value
+       FROM b JOIN h1 f ON f.id = b.src GROUP BY 1, 2)
+SELECT id, CAST(dim AS INT) AS dim, round(value, 6) AS value FROM h2
 """
 
 
@@ -4230,6 +4286,7 @@ FROM pl LEFT JOIN ie ON ie.label = pl.label CROSS JOIN m
         # round (the MIS/coloring round-replay pattern).
         "louvain_communities": _louvain_oracle(rounds=2),
         # (2 per C(cn,2), 2 diagonals per square) — integer-exact.
+        "neighbor_agg": _neighagg_oracle(),
         "square_count": f"""
 WITH {_E_TRUSS},
 b AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
