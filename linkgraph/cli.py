@@ -122,7 +122,10 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
     if args.mode == "histo":
         return E.in_out_degree_histograms(raw)
     if args.mode == "pagerank":
-        res = pagerank(und, max_iter=args.max_iter)
+        init = (
+            spark.read.parquet(args.init_ranks) if args.init_ranks else None
+        )
+        res = pagerank(und, max_iter=args.max_iter, init_ranks=init)
         print(f"iterations: {res.iterations}, delta: {res.delta}", file=sys.stderr)
         return res.ranks
     if args.mode == "components":
@@ -314,6 +317,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--max-iter", type=int, default=50)
     p.add_argument("--master", default=None)
     p.add_argument("--sources", default=None, help="comma-separated root ids (bfs)")
+    p.add_argument(
+        "--init-ranks",
+        default=None,
+        help="parquet (id, rank) table to warm-start pagerank from",
+    )
     p.add_argument(
         "--text",
         action="store_true",

@@ -61,6 +61,7 @@ def pagerank(
     checkpointer: Checkpointer | None = None,
     sources: list[int] | None = None,
     weight_col: str | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """PageRank over the canonical edge table.
 
@@ -82,6 +83,17 @@ def pagerank(
     literal (typical PPR usage: one entity / a handful of seeds); it
     compiles to an `IN` predicate, so no extra join enters the
     superstep plan.
+
+    ``init_ranks`` (an ``(id, rank)`` DataFrame) WARM-STARTS the power
+    iteration — the incremental-recompute path: after an edge delta,
+    seed from the previous run's converged ranks instead of uniform
+    and the iteration re-converges in the few rounds the perturbation
+    actually needs, not the full cold-start count (at 10^9 edges the
+    difference is the nightly bill). Vertices absent from init get the
+    uniform share; the vector is renormalized to sum 1, so the
+    fixpoint is identical to a cold start — only the trajectory
+    changes. One extra bounded setup action (the normalization sum);
+    the superstep plan is untouched.
     """
     spark = edges.sparkSession
     ckpt = checkpointer or Checkpointer(spark, job="pagerank")
@@ -179,6 +191,28 @@ def pagerank(
         # narrow projection, and mirrored links mean out_deg >= 1 always.
         state = deg_state.select("id", init_rank.alias("rank"), "out_deg")
         has_dangling = False
+
+    if init_ranks is not None:
+        # Warm start: previous ranks where available, uniform share for
+        # vertices the init doesn't cover (new since last run); ranks of
+        # departed vertices drop out via the inner vertex set. Then
+        # renormalize to exact sum 1 so the invariant every later round
+        # relies on (mass conservation) holds from round 1.
+        ir = init_ranks.select(
+            F.col("id").alias("_iid"), F.col("rank").cast("double").alias("_ir")
+        )
+        state = (
+            state.join(ir, state["id"] == ir["_iid"], "left_outer")
+            .select(
+                "id",
+                F.coalesce("_ir", F.lit(1.0 / n)).alias("rank"),
+                "out_deg",
+            )
+        )
+        total = state.agg(F.sum("rank")).collect()[0][0]
+        state = state.select(
+            "id", (F.col("rank") / F.lit(total)).alias("rank"), "out_deg"
+        ).localCheckpoint(eager=True)
 
     # Dangling mass for round 1 comes from the uniform init (one cheap
     # count); every later round's mass is folded into the SAME aggregate

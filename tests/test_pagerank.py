@@ -158,3 +158,44 @@ def test_weighted_uniform_weights_match_unweighted(spark):
     a = ranks_dict(pagerank(df, tol=1e-10).ranks)
     b = ranks_dict(pagerank(wdf, tol=1e-10, weight_col="weight").ranks)
     assert_close(b, a, tol=1e-12)
+
+
+def _gnp_pairs(n, p, seed):
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (i, j) for i in range(n) for j in range(i + 1, n) if rng.random() < p
+    ]
+
+
+def test_warm_start_converges_immediately(spark):
+    pairs = _gnp_pairs(60, 0.1, seed=7)
+    e = edge_df(spark, pairs)
+    cold = pagerank(e, tol=1e-10, max_iter=200)
+    ranks = cold.ranks
+    warm = pagerank(e, tol=1e-10, max_iter=200, init_ranks=ranks)
+    # seeded at the fixpoint: the first delta check already passes
+    assert warm.iterations <= 2, warm.iterations
+    got = {r["id"]: r["rank"] for r in warm.ranks.collect()}
+    want = {r["id"]: r["rank"] for r in ranks.collect()}
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9
+
+
+def test_warm_start_same_fixpoint_fewer_rounds(spark):
+    pairs = _gnp_pairs(60, 0.1, seed=11)
+    e0 = edge_df(spark, pairs)
+    prev = pagerank(e0, tol=1e-10, max_iter=300).ranks
+    # perturb: add a few edges (plus a brand-new vertex 999)
+    delta = [(1, 50), (2, 51), (999, 3)]
+    e1 = edge_df(spark, pairs + delta)
+    cold = pagerank(e1, tol=1e-10, max_iter=300)
+    warm = pagerank(e1, tol=1e-10, max_iter=300, init_ranks=prev)
+    assert warm.iterations < cold.iterations
+    got = {r["id"]: r["rank"] for r in warm.ranks.collect()}
+    want = {r["id"]: r["rank"] for r in cold.ranks.collect()}
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-7, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
