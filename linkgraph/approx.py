@@ -163,3 +163,61 @@ def approx_quantiles(
     return hit.select(
         *gc, "q", F.col("_r").alias("rank"), est.alias("quantile_est")
     )
+
+
+def quantiles_from_buckets(
+    counts: DataFrame,
+    lo: float,
+    hi: float,
+    qs: list[float],
+    n_buckets: int,
+    bucket_col: str = "bucket",
+    count_col: str = "n",
+) -> DataFrame:
+    """Quantile read-off from a materialized (bucket, count) histogram.
+
+    The streaming companion of ``approx_quantiles``: feed it the
+    drained output of ``streaming/textpipe.py::streaming_bucket_counts``
+    (whose state store holds <= n_buckets counter rows no matter how
+    long the stream runs) and the SAME fixed (lo, hi) bounds, and it
+    applies the identical cumulative-histogram + linear-interpolation
+    algebra — so running quantiles over an unbounded stream cost
+    bounded state plus this read-off over <= n_buckets rows. With
+    bounds equal to the data's true min/max it agrees exactly with the
+    batch ``approx_quantiles`` (pinned by test_approx parity).
+    """
+    nb = int(n_buckets)
+    c = counts.select(
+        F.col(bucket_col).cast("long").alias("_b"),
+        F.col(count_col).cast("long").alias("_cnt"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = c.withColumn("_cum", F.sum("_cnt").over(w)).withColumn(
+        "_n", F.sum("_cnt").over(Window.partitionBy(F.lit(1)))
+    )
+    qdf = counts.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    tagged = cum.crossJoin(F.broadcast(qdf)).withColumn(
+        "_r", F.greatest(F.lit(1).cast("long"), F.ceil(F.col("q") * F.col("_n")))
+    )
+    hit = (
+        tagged.where(F.col("_cum") >= F.col("_r"))
+        .groupBy("q")
+        .agg(F.min(F.struct("_b", "_cum", "_cnt", "_r")).alias("_s"))
+        .select("q", "_s.*")
+    )
+    if hi == lo:
+        est = F.lit(float(lo))
+    else:
+        est = F.lit(float(lo)) + (
+            F.col("_b")
+            + (F.col("_r") - (F.col("_cum") - F.col("_cnt"))) / F.col("_cnt")
+        ) * F.lit((float(hi) - float(lo)) / nb)
+    return hit.select("q", F.col("_r").alias("rank"), est.alias("quantile_est"))

@@ -182,6 +182,65 @@ def connected_components_delta(
     return labels
 
 
+def incremental_components(
+    prev_labels: DataFrame,
+    delta_edges: DataFrame,
+    checkpointer: Checkpointer | None = None,
+) -> DataFrame:
+    """Merge an edge delta into an existing labeling — incremental CC.
+
+    Contraction argument: every vertex of a previous component is
+    connected, so the old graph is equivalent (for connectivity) to
+    its quotient — one supernode per previous label. Only the delta
+    edges mapped through the labeling enter the new CC run; the
+    original edge table is never touched. At 10^9 edges with a
+    nightly delta of 10^6 the incremental run processes ~10^6 rows
+    plus one labels-sized join to re-emit the final mapping, not the
+    full graph. Because previous labels are component-min vertex ids,
+    the composed labeling is IDENTICAL to a full recompute on
+    (old ∪ delta) — min over merged supernode labels is the global
+    min id (pinned in test_components).
+
+    Returns (id, label) covering every previously-labeled vertex plus
+    every delta endpoint.
+    """
+    base = prev_labels.select("id", "label")
+    ends = (
+        delta_edges.select(F.col("src").alias("id"))
+        .unionByName(delta_edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    new_v = ends.join(base, "id", "left_anti").select(
+        "id", F.col("id").alias("label")
+    )
+    all_labels = base.unionByName(new_v).localCheckpoint(eager=True)
+
+    # Delta edges between supernodes (previous labels); self-quotient
+    # edges vanish, duplicates collapse — the contracted graph is tiny.
+    lmap = all_labels.select(
+        F.col("id").alias("_mid"), F.col("label").alias("_ml")
+    )
+    e = delta_edges.select("src", "dst")
+    e = (
+        e.join(lmap, e["src"] == lmap["_mid"])
+        .select(F.col("_ml").alias("ls"), "dst")
+        .join(lmap, F.col("dst") == lmap["_mid"])
+        .select("ls", F.col("_ml").alias("ld"))
+        .where(F.col("ls") != F.col("ld"))
+        .select(
+            F.least("ls", "ld").alias("src"), F.greatest("ls", "ld").alias("dst")
+        )
+        .distinct()
+    )
+    quotient = connected_components(e, checkpointer=checkpointer)
+    q = quotient.select(
+        F.col("id").alias("_qid"), F.col("label").alias("_qlabel")
+    )
+    return all_labels.join(
+        q, all_labels["label"] == q["_qid"], "left_outer"
+    ).select("id", F.coalesce("_qlabel", "label").alias("label"))
+
+
 def component_of_edges(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """Tag each edge with its component label: (component, src, dst).
 

@@ -144,3 +144,45 @@ def test_quantiles_grouped_and_degenerate(spark):
     }
     assert abs(got[("a", 0.5)] - py_quantiles([float(i) for i in range(100)], [0.5], 32)[0.5][1]) < 1e-12
     assert got[("b", 0.5)] == 5.0  # degenerate hi == lo group
+
+
+def test_quantiles_from_streamed_buckets_parity(spark, tmp_path):
+    """Streaming bucket counts (availableNow drain) -> read-off equals
+    the batch approx_quantiles at the same true bounds."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.approx import approx_quantiles, quantiles_from_buckets
+    from linkgraph.streaming.jobs import run_available_now
+    from linkgraph.streaming.textpipe import streaming_bucket_counts
+
+    vals = [float((i * 53) % 997) for i in range(600)]
+    src = tmp_path / "src"
+    df = spark.createDataFrame([(v,) for v in vals], "n_chars double")
+    df.coalesce(2).write.parquet(str(src))
+    lo, hi = min(vals), max(vals)
+
+    from pyspark.sql import types as T
+
+    stream = (
+        spark.readStream.schema(T.StructType([T.StructField("n_chars", T.DoubleType())]))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    counts = streaming_bucket_counts(stream, lo, hi, n_buckets=64)
+    run_available_now(
+        counts, "qbuckets", str(tmp_path / "ckpt"), output_mode="complete"
+    )
+    drained = spark.sql("SELECT * FROM qbuckets")
+    qs = [0.1, 0.5, 0.95]
+    got = {
+        r["q"]: (r["rank"], r["quantile_est"])
+        for r in quantiles_from_buckets(drained, lo, hi, qs, 64).collect()
+    }
+    want = {
+        r["q"]: (r["rank"], r["quantile_est"])
+        for r in approx_quantiles(df, "n_chars", qs, n_buckets=64).collect()
+    }
+    assert got.keys() == want.keys()
+    for q in qs:
+        assert got[q][0] == want[q][0], q
+        assert abs(got[q][1] - want[q][1]) < 1e-12, q

@@ -87,3 +87,43 @@ def test_delta_workset_matches_star_algorithm(spark, truss_mini):
         want = labels_dict(connected_components(g))
         got = labels_dict(connected_components_delta(g))
         assert got == want
+
+
+def test_incremental_equals_full_recompute(spark):
+    """Quotient-contraction incremental CC == full CC on the union."""
+    import random
+
+    from linkgraph.graph.components import (
+        connected_components,
+        incremental_components,
+    )
+    from tests.conftest import edge_df
+
+    rng = random.Random(13)
+    base = [(i, j) for i in range(80) for j in range(i + 1, 80) if rng.random() < 0.02]
+    # delta: a few merges plus brand-new vertices 200/201
+    delta = [(0, 70), (5, 60), (200, 201), (201, 7)]
+    prev = connected_components(edge_df(spark, base))
+    inc = incremental_components(prev, edge_df(spark, delta))
+    full = connected_components(edge_df(spark, base + delta))
+    got = {r["id"]: r["label"] for r in inc.collect()}
+    want = {r["id"]: r["label"] for r in full.collect()}
+    # full CC sees only edge endpoints; inc additionally keeps previously
+    # labeled vertices (same set here since base endpoints all appear)
+    assert got == want
+
+
+def test_incremental_no_op_delta(spark):
+    from linkgraph.graph.components import (
+        connected_components,
+        incremental_components,
+    )
+    from tests.conftest import edge_df
+
+    base = [(1, 2), (2, 3), (10, 11)]
+    prev = connected_components(edge_df(spark, base))
+    # delta edge inside an existing component: labeling unchanged
+    inc = incremental_components(prev, edge_df(spark, [(1, 3)]))
+    assert {r["id"]: r["label"] for r in inc.collect()} == {
+        r["id"]: r["label"] for r in prev.collect()
+    }
