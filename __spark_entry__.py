@@ -1010,6 +1010,24 @@ def _q_hash_sample(spark, sf):
     return kept.select("doc_id")
 
 
+def _q_stratified_sample(spark, sf):
+    # Per-language keep rates through the same portable avalanche
+    # chain as hash_sample; the per-stratum cut is one CASE filter.
+    from linkgraph.sampling import stratified_sample
+
+    d = datasets.load(spark, sf, "documents").select("doc_id", "lang")
+    kept = stratified_sample(
+        d,
+        "doc_id",
+        "lang",
+        {"en": 0.5, "de": 0.25},
+        default_fraction=0.1,
+        salt="0",
+        portable=True,
+    )
+    return kept.select("doc_id", "lang")
+
+
 def _q_decontam(spark, sf):
     # Benchmark set = every 40th doc (a stand-in eval suite); training
     # docs are the rest. 5-gram overlap — at sf0.01 exactly the
@@ -1634,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": _q_sequence_packing,
         "tfidf_top_terms": _q_tfidf,
         "hash_sample": _q_hash_sample,
+        "stratified_sample": _q_stratified_sample,
         "ngram_decontamination": _q_decontam,
         "quality_features": _q_quality,
         "language_id": _q_language,
@@ -3596,6 +3615,17 @@ WITH h0 AS (SELECT doc_id,
 h1 AS (SELECT doc_id, (h * h + {0x9E3779B9}) % 1000000007 AS h FROM h0),
 h2 AS (SELECT doc_id, (h * h + {0x85EBCA6B}) % 1000000007 AS h FROM h1)
 SELECT doc_id FROM h2 WHERE h % 1000000 < 250000
+""",
+        # Per-stratum cuts over the same avalanche chain.
+        "stratified_sample": f"""
+WITH h0 AS (SELECT doc_id,
+  ({_poly_sql("concat(CAST(doc_id AS VARCHAR), ':0')", 31, 1_000_000_007)}) AS h
+  FROM documents),
+h1 AS (SELECT doc_id, (h * h + {0x9E3779B9}) % 1000000007 AS h FROM h0),
+h2 AS (SELECT doc_id, (h * h + {0x85EBCA6B}) % 1000000007 AS h FROM h1)
+SELECT h2.doc_id, d.lang FROM h2 JOIN documents d USING (doc_id)
+WHERE h % 1000000 < CASE d.lang WHEN 'en' THEN 500000
+                                WHEN 'de' THEN 250000 ELSE 100000 END
 """,
         # 5-gram decontamination of training docs (doc_id % 40 != 0)
         # against the stand-in benchmark set (doc_id % 40 = 0); exact
