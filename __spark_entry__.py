@@ -55,7 +55,12 @@ from linkgraph.graph import edges as E
 from linkgraph.graph.components import component_of_edges, connected_components
 from linkgraph.graph.labelprop import label_propagation, seeded_label_propagation
 from linkgraph.graph.pagerank import pagerank
-from linkgraph.graph.triangles import clustering_coefficient, edge_support, triangles
+from linkgraph.graph.triangles import (
+    clustering_coefficient,
+    delta_triangles,
+    edge_support,
+    triangles,
+)
 from linkgraph.graph.kcore import k_core
 from linkgraph.graph.triangles import transitivity
 from linkgraph.graph.truss import k_truss_components
@@ -1568,6 +1573,17 @@ def _q_gopher_filters(spark, sf):
     )
 
 
+
+def _q_delta_triangles(spark, sf):
+    # Incremental maintenance check: a deterministic tenth of the truss
+    # graph's edges is the "delta"; the engine enumerates only
+    # delta-touching triangles, the oracle takes union-minus-base over
+    # two full ascending enumerations.
+    edges = datasets.co_purchase_edges(spark, sf, min_quantity=40)
+    is_delta = F.pmod(F.col("src") * 31 + F.col("dst"), F.lit(10)) == 0
+    return delta_triangles(edges.where(~is_delta), edges.where(is_delta))
+
+
 def _q_media_features(spark, sf):
     # Scalar projection: the driver's canonicalizer cannot sort/hash an
     # array column, so posexplode the feature vector to one row per
@@ -1688,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_communities": _q_louvain,
         "square_count": _q_square_count,
         "neighbor_agg": _q_neighbor_agg,
+        "delta_triangles": _q_delta_triangles,
         "clique4": _q_clique4,
         "item_similarity": _q_item_similarity,
         "butterfly_count": _q_butterflies,
@@ -4317,6 +4334,19 @@ FROM pl LEFT JOIN ie ON ie.label = pl.label CROSS JOIN m
         "louvain_communities": _louvain_oracle(rounds=2),
         # (2 per C(cn,2), 2 diagonals per square) — integer-exact.
         "neighbor_agg": _neighagg_oracle(),
+        # Incremental triangles: union-minus-base over two ascending
+        # enumerations (the engine side never re-enumerates the base).
+        "delta_triangles": f"""
+WITH {_E_TRUSS},
+bs AS (SELECT src, dst FROM e WHERE (src * 31 + dst) % 10 <> 0),
+tu AS (SELECT x.src AS a, x.dst AS b, y.dst AS c
+       FROM e x JOIN e y ON y.src = x.dst
+       JOIN e z ON z.src = x.src AND z.dst = y.dst),
+tb AS (SELECT x.src AS a, x.dst AS b, y.dst AS c
+       FROM bs x JOIN bs y ON y.src = x.dst
+       JOIN bs z ON z.src = x.src AND z.dst = y.dst)
+SELECT a, b, c FROM tu EXCEPT SELECT a, b, c FROM tb
+""",
         "square_count": f"""
 WITH {_E_TRUSS},
 b AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),

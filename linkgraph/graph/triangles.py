@@ -492,3 +492,82 @@ def edge_support(tri: DataFrame) -> DataFrame:
         ).alias("e")
     ).select("e.src", "e.dst")
     return tri_edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("support"))
+
+
+def delta_triangles(old_edges: DataFrame, delta_edges: DataFrame) -> DataFrame:
+    """Triangles CREATED by an edge delta — incremental triangle
+    maintenance (edge additions).
+
+    A new triangle must contain at least one delta edge, so it is
+    discoverable from the delta alone: for each delta edge, wedge
+    through its lower-degree endpoint's neighbors in the UNION graph,
+    close with a semi-join against the union edge set, then dedupe the
+    sorted triple (a triangle with k new edges is generated k times —
+    `distinct` replaces any inclusion-exclusion bookkeeping). Cost is
+    O(sum of delta-endpoint degrees) wedges plus one semi-join — the
+    old graph is scanned once for adjacency/degrees of the touched
+    endpoints, never re-enumerated; at 10^9 edges with a 10^6-edge
+    nightly delta, this is the difference between a full O(sum deg^2)
+    recount and a bounded incremental job.
+
+    Reference analogue: none (the reference recounts from scratch each
+    run); composes with `triangles` as
+    new_total = old_total + delta_triangles(...).count().
+
+    Returns (a, b, c) with a < b < c, new triangles only.
+    """
+    old = old_edges.select("src", "dst")
+    # Delta edges not already present contribute novelty; dedupe both
+    # within the delta and against the old set.
+    delta = (
+        delta_edges.select("src", "dst").distinct().join(old, ["src", "dst"], "left_anti")
+    )
+    union = old.unionByName(delta)
+    bidir = union.unionByName(
+        union.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ends = (
+        delta.select(F.col("src").alias("id"))
+        .unionByName(delta.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    # Adjacency + degrees restricted to delta endpoints (semi-join
+    # pushes the endpoint filter to the union scan).
+    adj = bidir.join(ends, bidir["src"] == ends["id"], "left_semi")
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    d1 = deg.select(F.col("src").alias("_u"), F.col("deg").alias("_du"))
+    d2 = deg.select(F.col("src").alias("_v"), F.col("deg").alias("_dv"))
+    oriented = (
+        delta.join(d1, delta["src"] == d1["_u"])
+        .join(d2, delta["dst"] == d2["_v"])
+        .select(
+            F.when(
+                F.struct(F.col("_du"), F.col("src"))
+                <= F.struct(F.col("_dv"), F.col("dst")),
+                F.struct(
+                    F.col("src").alias("lo"), F.col("dst").alias("hi")
+                ),
+            )
+            .otherwise(
+                F.struct(F.col("dst").alias("lo"), F.col("src").alias("hi"))
+            )
+            .alias("e")
+        )
+        .select("e.lo", "e.hi")
+    )
+    wedges = (
+        oriented.join(adj, oriented["lo"] == adj["src"])
+        .select("lo", "hi", F.col("dst").alias("w"))
+        .where(F.col("w") != F.col("hi"))
+    )
+    closed = wedges.join(
+        union,
+        (F.least("hi", "w") == union["src"]) & (F.greatest("hi", "w") == union["dst"]),
+        "left_semi",
+    )
+    tri = closed.select(
+        F.array_sort(F.array("lo", "hi", "w")).alias("t")
+    ).select(
+        F.col("t")[0].alias("a"), F.col("t")[1].alias("b"), F.col("t")[2].alias("c")
+    )
+    return tri.distinct()

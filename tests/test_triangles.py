@@ -130,3 +130,47 @@ def test_sql_kernel_salt_blocks(spark, block):
     tri = _close_wedges(_wedges_sql(oriented, block=block), oriented)
     rows = [(r["a"], r["b"], r["c"]) for r in tri.collect()]
     assert len(rows) == len(set(rows)) == math.comb(8, 3)
+
+
+# ------------------------------------------------------- incremental delta
+
+
+def test_delta_triangles_equals_recount_diff(spark):
+    import random
+
+    from linkgraph.graph.triangles import delta_triangles, triangles
+    from tests.conftest import edge_df
+
+    rng = random.Random(99)
+    all_pairs = [
+        (i, j) for i in range(40) for j in range(i + 1, 40) if rng.random() < 0.12
+    ]
+    base = [p for p in all_pairs if rng.random() < 0.8]
+    delta = [p for p in all_pairs if p not in base]
+    tri_of = lambda df: {
+        (r["a"], r["b"], r["c"]) for r in triangles(df).select("a", "b", "c").collect()
+    }
+    t_base = tri_of(edge_df(spark, base))
+    t_union = tri_of(edge_df(spark, all_pairs))
+    got = {
+        (r["a"], r["b"], r["c"])
+        for r in delta_triangles(edge_df(spark, base), edge_df(spark, delta)).collect()
+    }
+    assert got == t_union - t_base
+    assert len(t_base) + len(got) == len(t_union)
+
+
+def test_delta_triangles_dedupes_and_ignores_existing(spark):
+    from linkgraph.graph.triangles import delta_triangles
+    from tests.conftest import edge_df
+
+    base = [(1, 2)]
+    # two new edges close ONE triangle (counted once, not twice); the
+    # duplicate delta row and the already-present (1,2) must be ignored
+    delta = [(1, 3), (2, 3), (2, 3), (1, 2)]
+    got = delta_triangles(edge_df(spark, base), edge_df(spark, delta)).collect()
+    assert {(r["a"], r["b"], r["c"]) for r in got} == {(1, 2, 3)}
+    # delta entirely inside existing edges: nothing new
+    none = delta_triangles(edge_df(spark, [(1, 2), (1, 3), (2, 3)]),
+                           edge_df(spark, [(1, 2)])).collect()
+    assert none == []
