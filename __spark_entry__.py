@@ -110,6 +110,7 @@ from linkgraph.text.pii import pii_features, redact_pii
 from linkgraph.text.pmi import pmi_pairs
 from linkgraph.text.stats import corpus_stats, length_percentiles, term_frequencies
 from linkgraph.text.tfidf import tfidf_top_terms
+from linkgraph.text.vocab import build_vocab, oov_stats
 from linkgraph.text.decontam import ngram_contamination
 from linkgraph.text.packing import pack_chunks
 from linkgraph.sampling import (
@@ -1584,6 +1585,17 @@ def _q_delta_triangles(spark, sf):
     return delta_triangles(edges.where(~is_delta), edges.where(is_delta))
 
 
+
+def _q_vocabulary(spark, sf):
+    d = datasets.load(spark, sf, "documents")
+    return build_vocab(d, max_size=200, min_count=5)
+
+
+def _q_oov_rate(spark, sf):
+    d = datasets.load(spark, sf, "documents")
+    return oov_stats(d, build_vocab(d, max_size=50, min_count=5))
+
+
 def _q_media_features(spark, sf):
     # Scalar projection: the driver's canonicalizer cannot sort/hash an
     # array column, so posexplode the feature vector to one row per
@@ -1669,6 +1681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf,
         "hash_sample": _q_hash_sample,
         "stratified_sample": _q_stratified_sample,
+        "vocabulary": _q_vocabulary,
+        "oov_rate": _q_oov_rate,
         "ngram_decontamination": _q_decontam,
         "quality_features": _q_quality,
         "language_id": _q_language,
@@ -4334,6 +4348,35 @@ FROM pl LEFT JOIN ie ON ie.label = pl.label CROSS JOIN m
         "louvain_communities": _louvain_oracle(rounds=2),
         # (2 per C(cn,2), 2 diagonals per square) — integer-exact.
         "neighbor_agg": _neighagg_oracle(),
+        # Vocabulary ids by (freq desc, term): deterministic in both
+        # engines; min_count floor keeps the rank window bounded.
+        "vocabulary": r"""
+WITH t AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           FROM documents WHERE length(trim(text)) > 0),
+c AS (SELECT term, count(*) AS freq FROM t GROUP BY term HAVING count(*) >= 5),
+r AS (SELECT term, freq,
+             row_number() OVER (ORDER BY freq DESC, term) - 1 AS token_id
+      FROM c)
+SELECT CAST(token_id AS BIGINT) AS token_id, term, freq
+FROM r WHERE token_id < 200
+""",
+        "oov_rate": r"""
+WITH t AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           FROM documents WHERE length(trim(text)) > 0),
+c AS (SELECT term, count(*) AS freq FROM t GROUP BY term HAVING count(*) >= 5),
+r AS (SELECT term, row_number() OVER (ORDER BY freq DESC, term) - 1 AS token_id
+      FROM c),
+v AS (SELECT term FROM r WHERE token_id < 50),
+tok AS (SELECT doc_id,
+          unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0),
+j AS (SELECT tok.doc_id, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tok LEFT JOIN v ON v.term = tok.term)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       round(sum(oov) / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+FROM j GROUP BY doc_id
+""",
         # Incremental triangles: union-minus-base over two ascending
         # enumerations (the engine side never re-enumerates the base).
         "delta_triangles": f"""
