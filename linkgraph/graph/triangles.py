@@ -516,13 +516,19 @@ def delta_triangles(old_edges: DataFrame, delta_edges: DataFrame) -> DataFrame:
 
     Returns (a, b, c) with a < b < c, new triangles only.
     """
+    from pyspark.storagelevel import StorageLevel
+
     old = old_edges.select("src", "dst")
     # Delta edges not already present contribute novelty; dedupe both
     # within the delta and against the old set.
     delta = (
         delta_edges.select("src", "dst").distinct().join(old, ["src", "dst"], "left_anti")
     )
-    union = old.unionByName(delta)
+    # union feeds two consumers (adjacency, close) and adj feeds two
+    # (degrees, wedges): persist both so the old-graph derivation runs
+    # once, and eagerly materialize the (bounded) result at the end so
+    # the caches can be dropped before returning.
+    union = old.unionByName(delta).persist(StorageLevel.MEMORY_AND_DISK)
     bidir = union.unionByName(
         union.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -531,9 +537,12 @@ def delta_triangles(old_edges: DataFrame, delta_edges: DataFrame) -> DataFrame:
         .unionByName(delta.select(F.col("dst").alias("id")))
         .distinct()
     )
-    # Adjacency + degrees restricted to delta endpoints (semi-join
-    # pushes the endpoint filter to the union scan).
-    adj = bidir.join(ends, bidir["src"] == ends["id"], "left_semi")
+    # Adjacency + degrees restricted to delta endpoints (broadcast
+    # semi-join: ends is bounded by 2|delta|, so the endpoint filter
+    # streams the union scan with no shuffle).
+    adj = bidir.join(
+        F.broadcast(ends), bidir["src"] == ends["id"], "left_semi"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     d1 = deg.select(F.col("src").alias("_u"), F.col("deg").alias("_du"))
     d2 = deg.select(F.col("src").alias("_v"), F.col("deg").alias("_dv"))
@@ -557,17 +566,39 @@ def delta_triangles(old_edges: DataFrame, delta_edges: DataFrame) -> DataFrame:
     )
     wedges = (
         oriented.join(adj, oriented["lo"] == adj["src"])
-        .select("lo", "hi", F.col("dst").alias("w"))
-        .where(F.col("w") != F.col("hi"))
+        .select(
+            F.col("lo").alias("a"),
+            F.least("hi", "dst").alias("b"),
+            F.greatest("hi", "dst").alias("c"),
+        )
+        .where(F.col("b") != F.col("c"))
     )
-    closed = wedges.join(
-        union,
-        (F.least("hi", "w") == union["src"]) & (F.greatest("hi", "w") == union["dst"]),
-        "left_semi",
-    )
-    tri = closed.select(
-        F.array_sort(F.array("lo", "hi", "w")).alias("t")
-    ).select(
-        F.col("t")[0].alias("a"), F.col("t")[1].alias("b"), F.col("t")[2].alias("c")
-    )
-    return tri.distinct()
+    # For the target regime (delta ≪ graph) the wedge table — bounded
+    # by Σ deg over delta endpoints — is the SMALL side, so broadcast
+    # the wedges and stream the union: the close then costs one scan of
+    # the edge table with no O(|E|) shuffle or broadcast. Past the
+    # limit (huge delta), fall back to the shared tuned close above.
+    wedges = wedges.persist(StorageLevel.MEMORY_AND_DISK)
+    n_wedges = wedges.count()
+    if n_wedges <= _BROADCAST_EDGE_LIMIT // 4:
+        closing = union.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+        tri = (
+            closing.join(F.broadcast(wedges), ["b", "c"])
+            .select(F.array_sort(F.array("a", "b", "c")).alias("t"))
+            .select(
+                F.col("t")[0].alias("a"),
+                F.col("t")[1].alias("b"),
+                F.col("t")[2].alias("c"),
+            )
+        )
+    else:
+        tri = _close_wedges(
+            wedges,
+            union.select(F.col("src").alias("lo"), F.col("dst").alias("hi")),
+            n_edges=union.count(),
+        )
+    out = tri.distinct().localCheckpoint(eager=True)
+    wedges.unpersist()
+    union.unpersist()
+    adj.unpersist()
+    return out

@@ -174,3 +174,29 @@ def test_delta_triangles_dedupes_and_ignores_existing(spark):
     none = delta_triangles(edge_df(spark, [(1, 2), (1, 3), (2, 3)]),
                            edge_df(spark, [(1, 2)])).collect()
     assert none == []
+
+
+def test_delta_triangles_fallback_close(spark, monkeypatch):
+    """Past the wedge-broadcast limit the shared _close_wedges path
+    must produce the same result."""
+    import random
+
+    import linkgraph.graph.triangles as T
+    from tests.conftest import edge_df
+
+    rng = random.Random(5)
+    pairs = [
+        (i, j) for i in range(30) for j in range(i + 1, 30) if rng.random() < 0.25
+    ]
+    base = pairs[: len(pairs) * 3 // 4]
+    delta = pairs[len(pairs) * 3 // 4 :]
+    want = {
+        (r["a"], r["b"], r["c"])
+        for r in T.delta_triangles(edge_df(spark, base), edge_df(spark, delta)).collect()
+    }
+    monkeypatch.setattr(T, "_BROADCAST_EDGE_LIMIT", 0)
+    got = {
+        (r["a"], r["b"], r["c"])
+        for r in T.delta_triangles(edge_df(spark, base), edge_df(spark, delta)).collect()
+    }
+    assert got == want and want
