@@ -121,6 +121,7 @@ from linkgraph.sampling import (
 )
 from linkgraph.dedup.exact import deduplicate_against
 from linkgraph.graph.neighagg import neighbor_agg
+from linkgraph.graph.mixing import attribute_assortativity, mixing_matrix
 from linkgraph.graph.projection import butterfly_count, cooccurrence_similarity
 from linkgraph.graph.summary import graph_summary
 
@@ -1596,6 +1597,29 @@ def _q_oov_rate(spark, sf):
     return oov_stats(d, build_vocab(d, max_size=50, min_count=5))
 
 
+
+def _q_attribute_mixing(spark, sf):
+    edges = datasets.co_purchase_edges(spark, sf)
+    attrs = datasets.load(spark, sf, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_brand").alias("attr")
+    )
+    m = mixing_matrix(edges, attrs)
+    return m.select("attr_a", "attr_b", "n_ends", F.round("frac", 6).alias("frac"))
+
+
+def _q_attribute_assortativity(spark, sf):
+    edges = datasets.co_purchase_edges(spark, sf)
+    attrs = datasets.load(spark, sf, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_brand").alias("attr")
+    )
+    out = attribute_assortativity(edges, attrs)
+    return out.select(
+        F.round("r", 6).alias("r"),
+        F.round("trace", 6).alias("trace"),
+        F.round("chance", 6).alias("chance"),
+    )
+
+
 def _q_media_features(spark, sf):
     # Scalar projection: the driver's canonicalizer cannot sort/hash an
     # array column, so posexplode the feature vector to one row per
@@ -1719,6 +1743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "square_count": _q_square_count,
         "neighbor_agg": _q_neighbor_agg,
         "delta_triangles": _q_delta_triangles,
+        "attribute_mixing": _q_attribute_mixing,
+        "attribute_assortativity": _q_attribute_assortativity,
         "clique4": _q_clique4,
         "item_similarity": _q_item_similarity,
         "butterfly_count": _q_butterflies,
@@ -4348,6 +4374,38 @@ FROM pl LEFT JOIN ie ON ie.label = pl.label CROSS JOIN m
         "louvain_communities": _louvain_oracle(rounds=2),
         # (2 per C(cn,2), 2 diagonals per square) — integer-exact.
         "neighbor_agg": _neighagg_oracle(),
+        # Newman attribute mixing over p_brand endpoint labels.
+        "attribute_mixing": f"""
+WITH {_E_DENSE},
+b AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+p AS (SELECT p_partkey AS id, p_brand AS attr FROM part),
+m AS (SELECT pa.attr AS attr_a, pb.attr AS attr_b, count(*) AS n_ends
+      FROM b JOIN p pa ON pa.id = b.src JOIN p pb ON pb.id = b.dst
+      GROUP BY 1, 2)
+SELECT attr_a, attr_b, n_ends,
+       round(n_ends / (SELECT sum(n_ends) FROM m), 6) AS frac
+FROM m
+""",
+        "attribute_assortativity": f"""
+WITH {_E_DENSE},
+b AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+p AS (SELECT p_partkey AS id, p_brand AS attr FROM part),
+m AS (SELECT pa.attr AS attr_a, pb.attr AS attr_b, count(*) AS n_ends
+      FROM b JOIN p pa ON pa.id = b.src JOIN p pb ON pb.id = b.dst
+      GROUP BY 1, 2),
+mm AS (SELECT attr_a, attr_b,
+         n_ends / (SELECT sum(n_ends) FROM m) AS frac FROM m),
+a AS (SELECT attr_a, sum(frac) AS a_i FROM mm GROUP BY 1),
+bb AS (SELECT attr_b, sum(frac) AS b_i FROM mm GROUP BY 1),
+ch AS (SELECT sum(a.a_i * bb.b_i) AS chance
+       FROM a JOIN bb ON bb.attr_b = a.attr_a),
+tr AS (SELECT coalesce(sum(frac), 0.0) AS trace FROM mm
+       WHERE attr_a = attr_b)
+SELECT round(CASE WHEN ch.chance < 1.0
+                  THEN (tr.trace - ch.chance) / (1.0 - ch.chance) END, 6) AS r,
+       round(tr.trace, 6) AS trace, round(ch.chance, 6) AS chance
+FROM tr, ch
+""",
         # Vocabulary ids by (freq desc, term): deterministic in both
         # engines; min_count floor keeps the rank window bounded.
         "vocabulary": r"""
