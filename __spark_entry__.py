@@ -122,6 +122,7 @@ from linkgraph.sampling import (
 from linkgraph.dedup.exact import deduplicate_against
 from linkgraph.graph.neighagg import neighbor_agg
 from linkgraph.graph.mixing import attribute_assortativity, mixing_matrix
+from linkgraph.graph.temporal import windowed_graph_stats, windowed_triangle_counts
 from linkgraph.graph.projection import butterfly_count, cooccurrence_similarity
 from linkgraph.graph.summary import graph_summary
 
@@ -1620,6 +1621,20 @@ def _q_attribute_assortativity(spark, sf):
     )
 
 
+
+def _q_windowed_triangles(spark, sf):
+    e = datasets.co_purchase_edges_windowed(spark, sf, min_quantity=40)
+    return windowed_triangle_counts(e)
+
+
+def _q_windowed_stats(spark, sf):
+    e = datasets.co_purchase_edges_windowed(spark, sf, min_quantity=40)
+    s = windowed_graph_stats(e)
+    return s.select(
+        "win", "n_edges", "n_vertices", F.round("density", 6).alias("density")
+    )
+
+
 def _q_media_features(spark, sf):
     # Scalar projection: the driver's canonicalizer cannot sort/hash an
     # array column, so posexplode the feature vector to one row per
@@ -1745,6 +1760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_triangles": _q_delta_triangles,
         "attribute_mixing": _q_attribute_mixing,
         "attribute_assortativity": _q_attribute_assortativity,
+        "windowed_triangles": _q_windowed_triangles,
+        "windowed_graph_stats": _q_windowed_stats,
         "clique4": _q_clique4,
         "item_similarity": _q_item_similarity,
         "butterfly_count": _q_butterflies,
@@ -4374,6 +4391,42 @@ FROM pl LEFT JOIN ie ON ie.label = pl.label CROSS JOIN m
         "louvain_communities": _louvain_oracle(rounds=2),
         # (2 per C(cn,2), 2 diagonals per square) — integer-exact.
         "neighbor_agg": _neighagg_oracle(),
+        # Temporal graph: per-order-year co-purchase edges; triangles
+        # and shape stats per window, one plan covering all windows.
+        "windowed_triangles": """
+WITH ps0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem WHERE l_quantity >= 40),
+o AS (SELECT o_orderkey AS ok, strftime(o_orderdate, '%Y') AS win FROM orders),
+ps AS (SELECT ps0.ok, ps0.pk, o.win FROM ps0 JOIN o USING (ok)),
+e AS (SELECT DISTINCT a.win, a.pk AS src, b.pk AS dst
+      FROM ps a JOIN ps b ON a.ok = b.ok AND a.pk < b.pk),
+t AS (SELECT x.win, count(*) AS n
+      FROM e x JOIN e y ON y.win = x.win AND y.src = x.dst
+      JOIN e z ON z.win = x.win AND z.src = x.src AND z.dst = y.dst
+      GROUP BY x.win),
+w AS (SELECT DISTINCT win FROM e)
+SELECT w.win, CAST(coalesce(t.n, 0) AS BIGINT) AS n_triangles
+FROM w LEFT JOIN t USING (win)
+""",
+        "windowed_graph_stats": """
+WITH ps0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem WHERE l_quantity >= 40),
+o AS (SELECT o_orderkey AS ok, strftime(o_orderdate, '%Y') AS win FROM orders),
+ps AS (SELECT ps0.ok, ps0.pk, o.win FROM ps0 JOIN o USING (ok)),
+e AS (SELECT DISTINCT a.win, a.pk AS src, b.pk AS dst
+      FROM ps a JOIN ps b ON a.ok = b.ok AND a.pk < b.pk),
+ne AS (SELECT win, count(*) AS n_edges FROM e GROUP BY 1),
+nv AS (SELECT win, count(*) AS n_vertices FROM
+         (SELECT DISTINCT win, id FROM
+           (SELECT win, src AS id FROM e
+            UNION ALL SELECT win, dst AS id FROM e))
+       GROUP BY win)
+SELECT ne.win, ne.n_edges, nv.n_vertices,
+       round(CASE WHEN nv.n_vertices > 1
+             THEN ne.n_edges * 2.0 / (nv.n_vertices * (nv.n_vertices - 1))
+             ELSE 0.0 END, 6) AS density
+FROM ne JOIN nv USING (win)
+""",
         # Newman attribute mixing over p_brand endpoint labels.
         "attribute_mixing": f"""
 WITH {_E_DENSE},

@@ -58,6 +58,41 @@ def co_purchase_edges(
     )
 
 
+def co_purchase_edges_windowed(
+    spark: SparkSession,
+    sf_dir: str,
+    min_quantity: float | None = None,
+    fmt: str = "yyyy",
+) -> DataFrame:
+    """(win, src, dst): canonical co-purchase edges per order-date
+    window (an order belongs to exactly one window, so the pair
+    expansion never crosses windows). The same pair may recur across
+    windows — that is the temporal signal."""
+    li = load(spark, sf_dir, "lineitem")
+    if min_quantity is not None:
+        li = li.where(F.col("l_quantity") >= min_quantity)
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.date_format("o_orderdate", fmt).alias("win"),
+    )
+    ps = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .join(orders, "ok")
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    return (
+        a.join(b, "ok")
+        .where(F.col("a.pk") < F.col("b.pk"))
+        .select(
+            F.col("a.win").alias("win"),
+            F.col("a.pk").alias("src"),
+            F.col("b.pk").alias("dst"),
+        )
+        .distinct()
+    )
+
+
 def sparse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sparse co-purchase variant used by the iterative algorithms."""
     return co_purchase_edges(spark, sf_dir, min_quantity=48)
