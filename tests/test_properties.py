@@ -69,3 +69,53 @@ def test_truss_monotone_in_k(spark, seed):
         if prev is not None:
             assert cur <= prev  # (k+1)-truss ⊆ k-truss
         prev = cur
+
+
+@given(pairs=pairs_strategy, cut=st.integers(1, 9))
+@SET
+def test_delta_triangles_partition_invariant(spark, pairs, cut):
+    """For ANY split of the edge set, base triangles + delta triangles
+    == union triangles (counts), and delta equals the recount diff."""
+    from linkgraph.graph.triangles import delta_triangles
+
+    canon = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    base = [p for p in canon if (p[0] * 7 + p[1]) % 10 < cut]
+    delta = [p for p in canon if (p[0] * 7 + p[1]) % 10 >= cut]
+    n_union = triangle_count(edge_df(spark, canon))
+    n_base = triangle_count(edge_df(spark, base))
+    n_delta = delta_triangles(
+        edge_df(spark, base), edge_df(spark, delta)
+    ).count()
+    assert n_base + n_delta == n_union
+
+
+@given(pairs=pairs_strategy, cut=st.integers(1, 9))
+@SET
+def test_incremental_components_partition_invariant(spark, pairs, cut):
+    """Incremental CC over ANY split equals full CC on the union."""
+    from linkgraph.graph.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    canon = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    base = [p for p in canon if (p[0] * 7 + p[1]) % 10 < cut]
+    delta = [p for p in canon if (p[0] * 7 + p[1]) % 10 >= cut]
+    if not canon:
+        return
+    full = {
+        r["id"]: r["label"]
+        for r in connected_components(edge_df(spark, canon)).collect()
+    }
+    if not delta:
+        prev = connected_components(edge_df(spark, base))
+        got = {r["id"]: r["label"] for r in prev.collect()}
+    else:
+        prev = connected_components(edge_df(spark, base))
+        got = {
+            r["id"]: r["label"]
+            for r in incremental_components(
+                prev, edge_df(spark, delta)
+            ).collect()
+        }
+    assert got == full
