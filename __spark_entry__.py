@@ -52,6 +52,7 @@ from linkgraph.text.repetition import repetition_features
 from linkgraph.dedup.ngram import ngram_jaccard_pairs
 from linkgraph.dedup.simhash import simhash_near_duplicates
 from linkgraph.graph import edges as E
+from linkgraph.graph.edges import degree_drift, graph_diff
 from linkgraph.graph.components import component_of_edges, connected_components
 from linkgraph.graph.labelprop import label_propagation, seeded_label_propagation
 from linkgraph.graph.pagerank import pagerank
@@ -1635,6 +1636,24 @@ def _q_windowed_stats(spark, sf):
     )
 
 
+
+def _q_graph_diff(spark, sf):
+    # Snapshot drift: the deterministic base slice vs the full graph.
+    edges = datasets.co_purchase_edges(spark, sf, min_quantity=40)
+    base = edges.where(F.pmod(F.col("src") * 31 + F.col("dst"), F.lit(10)) != 0)
+    out = graph_diff(base, edges)
+    return out.select(
+        "n_old", "n_new", "n_added", "n_removed", "n_common",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def _q_degree_drift(spark, sf):
+    edges = datasets.co_purchase_edges(spark, sf, min_quantity=40)
+    base = edges.where(F.pmod(F.col("src") * 31 + F.col("dst"), F.lit(10)) != 0)
+    return degree_drift(base, edges)
+
+
 def _q_media_features(spark, sf):
     # Scalar projection: the driver's canonicalizer cannot sort/hash an
     # array column, so posexplode the feature vector to one row per
@@ -1762,6 +1781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribute_assortativity": _q_attribute_assortativity,
         "windowed_triangles": _q_windowed_triangles,
         "windowed_graph_stats": _q_windowed_stats,
+        "graph_diff": _q_graph_diff,
+        "degree_drift": _q_degree_drift,
         "clique4": _q_clique4,
         "item_similarity": _q_item_similarity,
         "butterfly_count": _q_butterflies,
@@ -4391,6 +4412,36 @@ FROM pl LEFT JOIN ie ON ie.label = pl.label CROSS JOIN m
         "louvain_communities": _louvain_oracle(rounds=2),
         # (2 per C(cn,2), 2 diagonals per square) — integer-exact.
         "neighbor_agg": _neighagg_oracle(),
+        # Snapshot drift between the base slice and the full graph.
+        "graph_diff": f"""
+WITH {_E_TRUSS},
+bs AS (SELECT src, dst FROM e WHERE (src * 31 + dst) % 10 <> 0),
+c AS (SELECT count(*) AS n_common FROM e SEMI JOIN bs USING (src, dst)),
+k AS (SELECT (SELECT count(*) FROM bs) AS n_old,
+             (SELECT count(*) FROM e) AS n_new,
+             (SELECT n_common FROM c) AS n_common)
+SELECT n_old, n_new, n_new - n_common AS n_added,
+       n_old - n_common AS n_removed, n_common,
+       round(n_common / CAST(n_old + n_new - n_common AS DOUBLE), 6)
+         AS jaccard
+FROM k
+""",
+        "degree_drift": f"""
+WITH {_E_TRUSS},
+bs AS (SELECT src, dst FROM e WHERE (src * 31 + dst) % 10 <> 0),
+dg AS (SELECT id, count(*) AS deg FROM
+         (SELECT src AS id FROM bs UNION ALL SELECT dst AS id FROM bs)
+       GROUP BY id),
+dn AS (SELECT id, count(*) AS deg FROM
+         (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)
+       GROUP BY id),
+j AS (SELECT coalesce(dg.id, dn.id) AS id,
+             coalesce(dg.deg, 0) AS deg_old,
+             coalesce(dn.deg, 0) AS deg_new
+      FROM dg FULL OUTER JOIN dn ON dn.id = dg.id)
+SELECT id, deg_old, deg_new, deg_new - deg_old AS delta
+FROM j WHERE deg_new <> deg_old
+""",
         # Temporal graph: per-order-year co-purchase edges; triangles
         # and shape stats per window, one plan covering all windows.
         "windowed_triangles": """

@@ -298,3 +298,50 @@ def in_out_degree_histograms(directed: DataFrame) -> DataFrame:
     return histo(out_deg, "out").unionByName(histo(in_deg, "in")).unionByName(
         histo(total, "total")
     )
+
+
+def graph_diff(old_edges: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """One row of edge-set drift between two graph snapshots:
+    (n_old, n_new, n_added, n_removed, n_common, jaccard).
+
+    The nightly-monitoring primitive for a continuously re-derived
+    link graph: two anti-joins + one semi-join on the canonical
+    (src, dst) key, each co-partitioned and map-side countable —
+    nothing here is more expensive than one co-keyed join pass.
+    """
+    o = old_edges.select("src", "dst")
+    n = new_edges.select("src", "dst")
+    n_old = o.count()
+    n_new = n.count()
+    n_common = n.join(o, ["src", "dst"], "left_semi").count()
+    union = n_old + n_new - n_common
+    spark = old_edges.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n_old,
+                n_new,
+                n_new - n_common,
+                n_old - n_common,
+                n_common,
+                float(n_common / union) if union else 1.0,
+            )
+        ],
+        "n_old long, n_new long, n_added long, n_removed long, "
+        "n_common long, jaccard double",
+    )
+
+
+def degree_drift(old_edges: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """(id, deg_old, deg_new, delta) for vertices whose degree changed
+    between snapshots (full-outer degree join; absent = 0)."""
+    d_old = degrees(old_edges).select("id", F.col("degree").alias("deg_old"))
+    d_new = degrees(new_edges).select("id", F.col("degree").alias("deg_new"))
+    j = d_old.join(d_new, "id", "full_outer").select(
+        "id",
+        F.coalesce("deg_old", F.lit(0)).alias("deg_old"),
+        F.coalesce("deg_new", F.lit(0)).alias("deg_new"),
+    )
+    return j.withColumn("delta", F.col("deg_new") - F.col("deg_old")).where(
+        F.col("delta") != 0
+    )

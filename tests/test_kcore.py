@@ -80,3 +80,29 @@ def test_degree_assortativity_star_is_minus_one(spark):
     star = canonicalize(edge_df(spark, [(0, 1), (0, 2), (0, 3)]))
     row = degree_assortativity(star).collect()[0]
     assert row["assortativity"] == pytest.approx(-1.0, abs=1e-12)
+
+
+# ---------------------------------------------------------------- graph diff
+
+
+def test_graph_diff_and_degree_drift(spark):
+    from linkgraph.graph.edges import degree_drift, graph_diff
+    from tests.conftest import edge_df
+
+    old = [(1, 2), (2, 3), (3, 4)]
+    new = [(1, 2), (2, 3), (4, 5), (5, 6)]
+    row = graph_diff(edge_df(spark, old), edge_df(spark, new)).collect()[0]
+    assert (row["n_old"], row["n_new"]) == (3, 4)
+    assert (row["n_added"], row["n_removed"], row["n_common"]) == (2, 1, 2)
+    assert abs(row["jaccard"] - 2 / 5) < 1e-12
+    drift = {
+        r["id"]: (r["deg_old"], r["deg_new"], r["delta"])
+        for r in degree_drift(edge_df(spark, old), edge_df(spark, new)).collect()
+    }
+    # vertex 3 loses the (3,4) edge; 4 swaps partner (no change); 5,6 appear
+    assert drift[3] == (2, 1, -1)
+    assert 4 not in drift
+    assert drift[5] == (0, 2, 2) and drift[6] == (0, 1, 1)
+    # identical graphs: empty drift, jaccard 1
+    same = graph_diff(edge_df(spark, old), edge_df(spark, old)).collect()[0]
+    assert same["jaccard"] == 1.0 and same["n_added"] == same["n_removed"] == 0
