@@ -123,7 +123,11 @@ from linkgraph.sampling import (
 from linkgraph.dedup.exact import deduplicate_against
 from linkgraph.graph.neighagg import neighbor_agg
 from linkgraph.graph.mixing import attribute_assortativity, mixing_matrix
-from linkgraph.graph.temporal import windowed_graph_stats, windowed_triangle_counts
+from linkgraph.graph.temporal import (
+    windowed_graph_stats,
+    windowed_pagerank,
+    windowed_triangle_counts,
+)
 from linkgraph.graph.projection import butterfly_count, cooccurrence_similarity
 from linkgraph.graph.summary import graph_summary
 
@@ -1654,6 +1658,16 @@ def _q_degree_drift(spark, sf):
     return degree_drift(base, edges)
 
 
+
+def _q_windowed_pagerank(spark, sf):
+    # Fleet-of-graphs: 10 fixed PageRank rounds over every order-year
+    # subgraph in one superstep loop (sparse variant keeps the oracle
+    # recursion cheap).
+    e = datasets.co_purchase_edges_windowed(spark, sf, min_quantity=48)
+    out = windowed_pagerank(e, iters=10)
+    return out.select("win", "id", F.round("rank", 6).alias("rank"))
+
+
 def _q_media_features(spark, sf):
     # Scalar projection: the driver's canonicalizer cannot sort/hash an
     # array column, so posexplode the feature vector to one row per
@@ -1783,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_graph_stats": _q_windowed_stats,
         "graph_diff": _q_graph_diff,
         "degree_drift": _q_degree_drift,
+        "windowed_pagerank": _q_windowed_pagerank,
         "clique4": _q_clique4,
         "item_similarity": _q_item_similarity,
         "butterfly_count": _q_butterflies,
@@ -4412,6 +4427,34 @@ FROM pl LEFT JOIN ie ON ie.label = pl.label CROSS JOIN m
         "louvain_communities": _louvain_oracle(rounds=2),
         # (2 per C(cn,2), 2 diagonals per square) — integer-exact.
         "neighbor_agg": _neighagg_oracle(),
+        # Per-window PageRank, 10 fixed rounds, windows inside every
+        # recursion key (mirrors windowed_pagerank exactly).
+        "windowed_pagerank": """
+WITH RECURSIVE
+ps0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        FROM lineitem WHERE l_quantity >= 48),
+o AS (SELECT o_orderkey AS ok, strftime(o_orderdate, '%Y') AS win FROM orders),
+ps AS (SELECT ps0.ok, ps0.pk, o.win FROM ps0 JOIN o USING (ok)),
+e AS (SELECT DISTINCT a.win, a.pk AS src, b.pk AS dst
+      FROM ps a JOIN ps b ON a.ok = b.ok AND a.pk < b.pk),
+b AS (SELECT win, src, dst FROM e
+      UNION ALL SELECT win, dst AS src, src AS dst FROM e),
+deg AS (SELECT win, src AS id, count(*) AS out_deg FROM b GROUP BY 1, 2),
+nv AS (SELECT win, count(*) AS n FROM deg GROUP BY 1),
+pr(it, win, id, rank) AS (
+  SELECT 0, deg.win, deg.id, CAST(1.0 AS DOUBLE) / nv.n
+  FROM deg JOIN nv USING (win)
+  UNION ALL
+  SELECT t.it + 1, t.win, t.id,
+         CAST(0.15 AS DOUBLE) / nv.n + CAST(0.85 AS DOUBLE) * t.contrib
+  FROM (SELECT pr.it, b.win, b.dst AS id,
+               sum(pr.rank / deg.out_deg) AS contrib
+        FROM pr JOIN b ON pr.win = b.win AND pr.id = b.src
+        JOIN deg ON deg.win = b.win AND deg.id = b.src
+        WHERE pr.it < 10 GROUP BY 1, 2, 3) t
+  JOIN nv ON nv.win = t.win)
+SELECT win, id, round(rank, 6) AS rank FROM pr WHERE it = 10
+""",
         # Snapshot drift between the base slice and the full graph.
         "graph_diff": f"""
 WITH {_E_TRUSS},

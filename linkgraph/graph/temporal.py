@@ -116,3 +116,71 @@ def windowed_triangle_counts(
     return wins.join(counts, "win", "left_outer").select(
         "win", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
     )
+
+
+def windowed_pagerank(
+    edges: DataFrame,
+    window_col: str = "win",
+    iters: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(win, id, rank) — PageRank over EVERY window's graph in one
+    superstep loop (fixed iteration count, undirected semantics).
+
+    The per-window state is keyed (win, id), so K windows cost the
+    same number of Spark jobs as one graph: each superstep is one
+    co-keyed join + one map-side-combinable (win, dst) aggregate, and
+    the round count is shared. Mirrored undirected links mean no
+    vertex dangles and ranks sum to 1 WITHIN each window. This is the
+    fleet-of-graphs pattern — per-window / per-tenant / per-community
+    subgraphs batched through one iterative plan instead of K driver
+    loops (cf. pagerank.py for the single-graph engine with
+    convergence, dangling mass, and checkpoint/resume).
+    """
+    e = edges.select(F.col(window_col).alias("win"), "src", "dst")
+    links = e.unionByName(
+        e.select("win", F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    links = links.repartition("win", "src").persist(StorageLevel.MEMORY_AND_DISK)
+    deg = links.groupBy("win", F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    nv = deg.groupBy("win").agg(F.count(F.lit(1)).alias("n"))
+    state = (
+        deg.join(nv, "win")
+        .select("win", "id", (F.lit(1.0) / F.col("n")).alias("rank"), "out_deg")
+        .localCheckpoint(eager=True)
+    )
+    teleport = nv.select(
+        "win", ((1.0 - damping) / F.col("n")).alias("_tele")
+    )
+    for _ in range(int(iters)):
+        s = state.select(
+            F.col("win").alias("_w"), F.col("id").alias("_i"),
+            F.col("rank").alias("_r"), F.col("out_deg").alias("_d"),
+        )
+        contribs = (
+            links.join(s, (links["win"] == s["_w"]) & (links["src"] == s["_i"]))
+            .groupBy("win", "dst")
+            .agg(F.sum(F.col("_r") / F.col("_d")).alias("_c"))
+            .select("win", F.col("dst").alias("id"), "_c")
+        )
+        state = (
+            state.select("win", "id", "out_deg")
+            .join(contribs, ["win", "id"], "left_outer")
+            .join(F.broadcast(teleport), "win")
+            .select(
+                "win",
+                "id",
+                (
+                    F.col("_tele")
+                    + F.lit(damping) * F.coalesce("_c", F.lit(0.0))
+                ).alias("rank"),
+                "out_deg",
+            )
+            .localCheckpoint(eager=True)
+        )
+    links.unpersist()
+    return state.select("win", "id", "rank")

@@ -60,3 +60,39 @@ def test_same_pair_across_windows_counted_per_window(spark):
         for r in windowed_triangle_counts(df).collect()
     }
     assert got == {"a": 1, "b": 1}
+
+
+def test_windowed_pagerank_vs_single_graph(spark):
+    """Each window's batched ranks equal an independent numpy PR run."""
+    from linkgraph.graph.temporal import windowed_pagerank
+
+    def numpy_pr(pairs, iters=10, d=0.85):
+        links = list(pairs) + [(b, a) for a, b in pairs]
+        ids = sorted({v for e in links for v in e})
+        idx = {v: i for i, v in enumerate(ids)}
+        out = [0] * len(ids)
+        for a, _ in links:
+            out[idx[a]] += 1
+        r = [1.0 / len(ids)] * len(ids)
+        for _ in range(iters):
+            c = [0.0] * len(ids)
+            for a, b in links:
+                c[idx[b]] += r[idx[a]] / out[idx[a]]
+            r = [(1 - d) / len(ids) + d * x for x in c]
+        return {v: r[idx[v]] for v in ids}
+
+    wins = {
+        "a": [(1, 2), (2, 3), (1, 3), (3, 4)],
+        "b": [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1)],
+    }
+    rows = [(w, s, t) for w, ps in wins.items() for s, t in ps]
+    df = spark.createDataFrame(rows, "win string, src long, dst long")
+    got = {}
+    for r in windowed_pagerank(df, iters=10).collect():
+        got.setdefault(r["win"], {})[r["id"]] = r["rank"]
+    for w, ps in wins.items():
+        want = numpy_pr(ps)
+        assert set(got[w]) == set(want)
+        for v in want:
+            assert abs(got[w][v] - want[v]) < 1e-12, (w, v)
+        assert abs(sum(got[w].values()) - 1.0) < 1e-9
