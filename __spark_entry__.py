@@ -124,6 +124,7 @@ from linkgraph.dedup.exact import deduplicate_against
 from linkgraph.graph.neighagg import neighbor_agg
 from linkgraph.graph.mixing import attribute_assortativity, mixing_matrix
 from linkgraph.graph.temporal import (
+    windowed_components,
     windowed_graph_stats,
     windowed_pagerank,
     windowed_triangle_counts,
@@ -1668,6 +1669,12 @@ def _q_windowed_pagerank(spark, sf):
     return out.select("win", "id", F.round("rank", 6).alias("rank"))
 
 
+
+def _q_windowed_components(spark, sf):
+    e = datasets.co_purchase_edges_windowed(spark, sf, min_quantity=48)
+    return windowed_components(e)
+
+
 def _q_media_features(spark, sf):
     # Scalar projection: the driver's canonicalizer cannot sort/hash an
     # array column, so posexplode the feature vector to one row per
@@ -1798,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_diff": _q_graph_diff,
         "degree_drift": _q_degree_drift,
         "windowed_pagerank": _q_windowed_pagerank,
+        "windowed_components": _q_windowed_components,
         "clique4": _q_clique4,
         "item_similarity": _q_item_similarity,
         "butterfly_count": _q_butterflies,
@@ -4427,6 +4435,25 @@ FROM pl LEFT JOIN ie ON ie.label = pl.label CROSS JOIN m
         "louvain_communities": _louvain_oracle(rounds=2),
         # (2 per C(cn,2), 2 diagonals per square) — integer-exact.
         "neighbor_agg": _neighagg_oracle(),
+        # Per-window CC: the reachability closure with the window id in
+        # every recursion key; min reachable id = label.
+        "windowed_components": """
+WITH RECURSIVE
+ps0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        FROM lineitem WHERE l_quantity >= 48),
+o AS (SELECT o_orderkey AS ok, strftime(o_orderdate, '%Y') AS win FROM orders),
+ps AS (SELECT ps0.ok, ps0.pk, o.win FROM ps0 JOIN o USING (ok)),
+e AS (SELECT DISTINCT a.win, a.pk AS src, b.pk AS dst
+      FROM ps a JOIN ps b ON a.ok = b.ok AND a.pk < b.pk),
+b AS (SELECT win, src, dst FROM e
+      UNION ALL SELECT win, dst AS src, src AS dst FROM e),
+reach(win, id, r) AS (
+  SELECT win, src, src FROM b
+  UNION
+  SELECT b.win, b.dst, reach.r
+  FROM b JOIN reach ON reach.win = b.win AND reach.id = b.src)
+SELECT win, id, min(r) AS label FROM reach GROUP BY win, id
+""",
         # Per-window PageRank, 10 fixed rounds, windows inside every
         # recursion key (mirrors windowed_pagerank exactly).
         "windowed_pagerank": """

@@ -184,3 +184,59 @@ def windowed_pagerank(
         )
     links.unpersist()
     return state.select("win", "id", "rank")
+
+
+def windowed_components(
+    edges: DataFrame, window_col: str = "win", max_rounds: int = 100
+) -> DataFrame:
+    """(win, id, label) — connected components of EVERY window's graph
+    in one shared iteration (label = min vertex id per component).
+
+    Min-label propagation with (win, id) state keys: one co-keyed join
+    plus one map-side-combinable (win, id) min-aggregate per round, a
+    single driver action for the global convergence count, and the
+    round count is max(diameter) over windows — K windows converge
+    together instead of K driver loops. (The single-graph scale
+    default stays graph/components.py's large-star/small-star with its
+    O(log n) bound; this is the batched-fleet variant.)
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    e = edges.select(F.col(window_col).alias("win"), "src", "dst")
+    links = e.unionByName(
+        e.select("win", F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    links = links.repartition("win", "src").persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        links.select("win", F.col("src").alias("id"))
+        .distinct()
+        .select("win", "id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(int(max_rounds)):
+        s = labels.select(
+            F.col("win").alias("_w"), F.col("id").alias("_i"),
+            F.col("label").alias("_l"),
+        )
+        incoming = (
+            links.join(s, (links["win"] == s["_w"]) & (links["src"] == s["_i"]))
+            .groupBy("win", "dst")
+            .agg(F.min("_l").alias("_nl"))
+            .select("win", F.col("dst").alias("id"), "_nl")
+        )
+        merged = (
+            labels.join(incoming, ["win", "id"], "left_outer")
+            .select(
+                "win",
+                "id",
+                F.least("label", F.coalesce("_nl", "label")).alias("label"),
+                (F.coalesce("_nl", "label") < F.col("label")).alias("_chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = merged.where("_chg").count()
+        labels = merged.select("win", "id", "label")
+        if n_changed == 0:
+            break
+    links.unpersist()
+    return labels

@@ -96,3 +96,26 @@ def test_windowed_pagerank_vs_single_graph(spark):
         for v in want:
             assert abs(got[w][v] - want[v]) < 1e-12, (w, v)
         assert abs(sum(got[w].values()) - 1.0) < 1e-9
+
+
+def test_windowed_components_vs_single_graph(spark):
+    from linkgraph.graph.components import connected_components
+    from linkgraph.graph.temporal import windowed_components
+    from tests.conftest import edge_df
+
+    wins = {
+        "a": [(1, 2), (3, 4), (4, 5)],               # {1,2}, {3,4,5}
+        "b": [(1, 2), (2, 3), (7, 8)],               # {1,2,3}, {7,8}
+        "c": [(i, i + 1) for i in range(1, 12)],     # one long path
+    }
+    rows = [(w, s, t) for w, ps in wins.items() for s, t in ps]
+    df = spark.createDataFrame(rows, "win string, src long, dst long")
+    got = {}
+    for r in windowed_components(df).collect():
+        got.setdefault(r["win"], {})[r["id"]] = r["label"]
+    for w, ps in wins.items():
+        want = {
+            r["id"]: r["label"]
+            for r in connected_components(edge_df(spark, ps)).collect()
+        }
+        assert got[w] == want, w
