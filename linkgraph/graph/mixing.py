@@ -47,6 +47,10 @@ def mixing_matrix(
         .join(a2, b["dst"] == a2["_i2"])
         .groupBy("attr_a", "attr_b")
         .agg(F.count(F.lit(1)).alias("n_ends"))
+        # <= k^2 rows, but its lineage is the corpus-sized join — cut it
+        # so the matrix, its total, the marginals, and the trace all
+        # read one materialization instead of re-running the join.
+        .localCheckpoint(eager=True)
     )
     total = m.agg(F.sum("n_ends").alias("_tot"))
     return m.crossJoin(F.broadcast(total)).select(
