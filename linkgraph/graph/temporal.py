@@ -92,6 +92,10 @@ def windowed_triangle_counts(
             .alias("o"),
         )
         .select("win", "o.lo", "o.hi", "o.dhi")
+        # three consumers (both wedge sides + the closing set): a lazy
+        # checkpoint materializes the oriented table once per action
+        # instead of replaying the degree joins three times.
+        .localCheckpoint(eager=False)
     )
     o1 = oriented.select(
         F.col("win").alias("w1"), F.col("lo").alias("l1"),
