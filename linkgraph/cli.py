@@ -122,9 +122,8 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
     if args.mode == "histo":
         return E.in_out_degree_histograms(raw)
     if args.mode == "pagerank":
-        init = (
-            spark.read.parquet(args.init_ranks) if args.init_ranks else None
-        )
+        init_path = getattr(args, "init_ranks", None)
+        init = spark.read.parquet(init_path) if init_path else None
         res = pagerank(und, max_iter=args.max_iter, init_ranks=init)
         print(f"iterations: {res.iterations}, delta: {res.delta}", file=sys.stderr)
         return res.ranks
