@@ -119,3 +119,29 @@ def test_windowed_components_vs_single_graph(spark):
             for r in connected_components(edge_df(spark, ps)).collect()
         }
         assert got[w] == want, w
+
+
+def test_empty_inputs(spark):
+    from linkgraph.graph.mixing import attribute_assortativity, mixing_matrix
+    from linkgraph.graph.temporal import (
+        windowed_components,
+        windowed_graph_stats,
+        windowed_pagerank,
+        windowed_triangle_counts,
+    )
+    from linkgraph.text.vocab import build_vocab, oov_stats
+
+    ew = spark.createDataFrame([], "win string, src long, dst long")
+    assert windowed_triangle_counts(ew).count() == 0
+    assert windowed_graph_stats(ew).count() == 0
+    assert windowed_pagerank(ew, iters=2).count() == 0
+    assert windowed_components(ew, max_rounds=3).count() == 0
+    e = spark.createDataFrame([], "src long, dst long")
+    attrs = spark.createDataFrame([], "id long, attr string")
+    assert mixing_matrix(e, attrs).count() == 0
+    row = attribute_assortativity(e, attrs).collect()
+    assert len(row) <= 1  # no-edge graph: empty or NULL-r row
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    v = build_vocab(docs)
+    assert v.count() == 0
+    assert oov_stats(docs, v).count() == 0
