@@ -64,6 +64,35 @@ def main() -> None:
     new_state.explain("formatted")
     links.unpersist()
 
+    print("=== F. windowed triangles (window id inside every key) ===")
+    from linkgraph.graph.temporal import windowed_triangle_counts
+
+    ew = datasets.co_purchase_edges_windowed(spark, sf, min_quantity=40)
+    windowed_triangle_counts(ew).explain("formatted")
+
+    print("=== G. attribute assortativity (k^2-row tail after matrix ckpt) ===")
+    from linkgraph.graph.mixing import attribute_assortativity
+
+    attrs = datasets.load(spark, sf, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_brand").alias("attr")
+    )
+    attribute_assortativity(edges, attrs).explain("formatted")
+
+    print("=== H. delta_triangles (wedge-broadcast close) ===")
+    from linkgraph.graph.triangles import delta_triangles
+
+    is_delta = F.pmod(F.col("src") * 31 + F.col("dst"), F.lit(10)) == 0
+    delta_triangles(edges.where(~is_delta), edges.where(is_delta)).explain(
+        "formatted"
+    )
+
+    print("=== I. approx_quantiles (bounded counter rows, no data sort) ===")
+    from linkgraph.approx import approx_quantiles
+
+    approx_quantiles(
+        datasets.load(spark, sf, "documents"), "n_chars", [0.5], ["lang"]
+    ).explain("formatted")
+
     spark.stop()
 
 
