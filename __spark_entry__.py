@@ -125,6 +125,7 @@ from linkgraph.graph.neighagg import neighbor_agg
 from linkgraph.graph.mixing import attribute_assortativity, mixing_matrix
 from linkgraph.graph.temporal import (
     windowed_components,
+    windowed_label_propagation,
     windowed_graph_stats,
     windowed_pagerank,
     windowed_triangle_counts,
@@ -1675,6 +1676,15 @@ def _q_windowed_components(spark, sf):
     return windowed_components(e)
 
 
+
+def _q_windowed_lpa(spark, sf):
+    # Fixed 8 sync-LPA rounds over every order-year subgraph; both
+    # engines replay the identical round count, so convergence /
+    # oscillation state is irrelevant to the comparison.
+    e = datasets.co_purchase_edges_windowed(spark, sf, min_quantity=48)
+    return windowed_label_propagation(e, iters=8)
+
+
 def _q_media_features(spark, sf):
     # Scalar projection: the driver's canonicalizer cannot sort/hash an
     # array column, so posexplode the feature vector to one row per
@@ -1806,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_drift": _q_degree_drift,
         "windowed_pagerank": _q_windowed_pagerank,
         "windowed_components": _q_windowed_components,
+        "windowed_lpa": _q_windowed_lpa,
         "clique4": _q_clique4,
         "item_similarity": _q_item_similarity,
         "butterfly_count": _q_butterflies,
@@ -4435,6 +4446,31 @@ FROM pl LEFT JOIN ie ON ie.label = pl.label CROSS JOIN m
         "louvain_communities": _louvain_oracle(rounds=2),
         # (2 per C(cn,2), 2 diagonals per square) — integer-exact.
         "neighbor_agg": _neighagg_oracle(),
+        # Per-window sync LPA, 8 fixed rounds; most-frequent neighbor
+        # label, ties to the smallest label (mirrors the engine's
+        # argmax-by-(count, -label)).
+        "windowed_lpa": """
+WITH RECURSIVE
+ps0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        FROM lineitem WHERE l_quantity >= 48),
+o AS (SELECT o_orderkey AS ok, strftime(o_orderdate, '%Y') AS win FROM orders),
+ps AS (SELECT ps0.ok, ps0.pk, o.win FROM ps0 JOIN o USING (ok)),
+e AS (SELECT DISTINCT a.win, a.pk AS src, b.pk AS dst
+      FROM ps a JOIN ps b ON a.ok = b.ok AND a.pk < b.pk),
+b AS (SELECT win, src, dst FROM e
+      UNION ALL SELECT win, dst AS src, src AS dst FROM e),
+lp(it, win, id, label) AS (
+  SELECT 0, win, src, src FROM (SELECT DISTINCT win, src FROM b)
+  UNION ALL
+  SELECT it + 1, win, id, label FROM (
+    SELECT lp.it, b.win, b.src AS id, lp.label,
+           row_number() OVER (PARTITION BY lp.it, b.win, b.src
+                              ORDER BY count(*) DESC, lp.label ASC) AS rn
+    FROM lp JOIN b ON lp.win = b.win AND lp.id = b.dst
+    WHERE lp.it < 8
+    GROUP BY lp.it, b.win, b.src, lp.label) WHERE rn = 1)
+SELECT win, id, label FROM lp WHERE it = 8
+""",
         # Per-window CC: the reachability closure with the window id in
         # every recursion key; min reachable id = label.
         "windowed_components": """

@@ -244,3 +244,49 @@ def windowed_components(
             break
     links.unpersist()
     return labels
+
+
+def windowed_label_propagation(
+    edges: DataFrame, window_col: str = "win", iters: int = 8
+) -> DataFrame:
+    """(win, id, label) — synchronous LPA over every window's graph in
+    one shared loop, FIXED round count.
+
+    Each round every vertex adopts its neighbors' most frequent label
+    (ties to the smallest label), all windows at once: one co-keyed
+    join + one (win, vertex, label) count + one argmax aggregate per
+    round. Fixed rounds keep the batched variant replayable
+    cross-engine; the single-graph labelprop.py keeps the delta
+    worksets and period-2 oscillation termination.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    e = edges.select(F.col(window_col).alias("win"), "src", "dst")
+    links = e.unionByName(
+        e.select("win", F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    links = links.repartition("win", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        links.select("win", F.col("src").alias("id"))
+        .distinct()
+        .select("win", "id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(int(iters)):
+        s = labels.select(
+            F.col("win").alias("_w"), F.col("id").alias("_i"),
+            F.col("label").alias("_l"),
+        )
+        votes = (
+            links.join(s, (links["win"] == s["_w"]) & (links["dst"] == s["_i"]))
+            .groupBy("win", "src", "_l")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        labels = (
+            votes.groupBy("win", F.col("src").alias("id"))
+            .agg(F.max(F.struct(F.col("_n"), (-F.col("_l")).alias("_neg"))).alias("_t"))
+            .select("win", "id", (-F.col("_t._neg")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    links.unpersist()
+    return labels

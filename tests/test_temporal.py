@@ -145,3 +145,36 @@ def test_empty_inputs(spark):
     v = build_vocab(docs)
     assert v.count() == 0
     assert oov_stats(docs, v).count() == 0
+
+
+def test_windowed_lpa_vs_replay(spark):
+    from collections import Counter
+
+    from linkgraph.graph.temporal import windowed_label_propagation
+
+    def py_lpa(pairs, iters):
+        nbrs = {}
+        for a, b in pairs:
+            nbrs.setdefault(a, []).append(b)
+            nbrs.setdefault(b, []).append(a)
+        lab = {v: v for v in nbrs}
+        for _ in range(iters):
+            new = {}
+            for v, ns in nbrs.items():
+                c = Counter(lab[u] for u in ns)
+                best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[v] = best[0]
+            lab = new
+        return lab
+
+    wins = {
+        "a": [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6)],
+        "b": [(i, i + 1) for i in range(1, 8)],
+    }
+    rows = [(w, s, t) for w, ps in wins.items() for s, t in ps]
+    df = spark.createDataFrame(rows, "win string, src long, dst long")
+    got = {}
+    for r in windowed_label_propagation(df, iters=6).collect():
+        got.setdefault(r["win"], {})[r["id"]] = r["label"]
+    for w, ps in wins.items():
+        assert got[w] == py_lpa(ps, 6), w
