@@ -112,6 +112,7 @@ from linkgraph.text.pmi import pmi_pairs
 from linkgraph.text.stats import corpus_stats, length_percentiles, term_frequencies
 from linkgraph.text.tfidf import tfidf_top_terms
 from linkgraph.text.vocab import build_vocab, oov_stats
+from linkgraph.text.bpe import bpe_pair_counts, word_frequencies
 from linkgraph.text.decontam import ngram_contamination
 from linkgraph.text.packing import pack_chunks
 from linkgraph.sampling import (
@@ -1685,6 +1686,15 @@ def _q_windowed_lpa(spark, sf):
     return windowed_label_propagation(e, iters=8)
 
 
+
+def _q_bpe_pairs(spark, sf):
+    # BPE round 0: adjacent character-pair counts over the bounded
+    # (word, freq) table — the one corpus-sized aggregate of tokenizer
+    # training; later rounds are pinned by test_bpe's exact replay.
+    d = datasets.load(spark, sf, "documents")
+    return bpe_pair_counts(word_frequencies(d))
+
+
 def _q_media_features(spark, sf):
     # Scalar projection: the driver's canonicalizer cannot sort/hash an
     # array column, so posexplode the feature vector to one row per
@@ -1772,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "vocabulary": _q_vocabulary,
         "oov_rate": _q_oov_rate,
+        "bpe_char_pairs": _q_bpe_pairs,
         "ngram_decontamination": _q_decontam,
         "quality_features": _q_quality,
         "language_id": _q_language,
@@ -4446,6 +4457,17 @@ FROM pl LEFT JOIN ie ON ie.label = pl.label CROSS JOIN m
         "louvain_communities": _louvain_oracle(rounds=2),
         # (2 per C(cn,2), 2 diagonals per square) — integer-exact.
         "neighbor_agg": _neighagg_oracle(),
+        # BPE round-0 pair statistics over the distinct-word table.
+        "bpe_char_pairs": r"""
+WITH w AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+           FROM documents WHERE length(trim(text)) > 0),
+wf AS (SELECT word, count(*) AS freq FROM w
+       WHERE length(word) > 0 GROUP BY word),
+p AS (SELECT freq, substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r
+      FROM wf, unnest(range(1, length(word))) AS g(i))
+SELECT l AS "left", r AS "right", CAST(sum(freq) AS BIGINT) AS count
+FROM p GROUP BY 1, 2
+""",
         # Per-window sync LPA, 8 fixed rounds; most-frequent neighbor
         # label, ties to the smallest label (mirrors the engine's
         # argmax-by-(count, -label)).

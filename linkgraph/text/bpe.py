@@ -1,0 +1,156 @@
+"""Byte-pair-encoding (BPE) tokenizer training support.
+
+Not in the reference (no text layer). BPE training (Sennrich et al.,
+ACL 2016) is the canonical tokenizer-construction loop: start from
+characters, repeatedly merge the most frequent adjacent symbol pair.
+The distributed design hinges on one observation: after ONE corpus
+pass that aggregates (word, freq), every further round operates on the
+DISTINCT-WORD table — bounded by vocabulary size, not corpus size — so
+a 100 TB corpus pays one token-count aggregate and then iterates over
+a few-hundred-thousand-row table.
+
+Plan shape per merge round: one Arrow-batched pandas UDF over the word
+table (apply the merge list, emit adjacent pairs — Python touches only
+the bounded vocab, never the corpus), one map-side-combinable pair
+aggregate, one 1-row argmax action. ``bpe_pair_counts`` with no merges
+is pure relational (posexplode of character pairs) and value-checked
+by the driver oracle; the iterative trainer is pinned against an exact
+Python replay in tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_frequencies(df: DataFrame, col: str = "text") -> DataFrame:
+    """(word, freq) — the one corpus-sized aggregate of BPE training."""
+    words = F.split(F.trim(F.lower(F.col(col))), r"\s+")
+    return (
+        df.where(F.length(F.trim(F.col(col))) > 0)
+        .select(F.explode(words).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _apply_merges(symbols: list[str], merges: list[tuple[str, str]]) -> list[str]:
+    for a, b in merges:
+        out: list[str] = []
+        i = 0
+        while i < len(symbols):
+            if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(symbols[i])
+                i += 1
+        symbols = out
+    return symbols
+
+
+def bpe_pair_counts(
+    word_freqs: DataFrame, merges: list[tuple[str, str]] | None = None
+) -> DataFrame:
+    """(left, right, count) — adjacent-symbol pair counts over the word
+    table, weighted by word frequency, AFTER applying ``merges`` in
+    order (empty merges = character pairs).
+
+    With no merges this is a pure relational posexplode; with merges
+    the sequential left-to-right merge semantics need imperative
+    per-word work, done as an Arrow-batched kernel over the BOUNDED
+    word table (the corpus never reaches Python).
+    """
+    merges = list(merges or [])
+    if not merges:
+        chars = F.split(F.col("word"), "")
+        pairs = (
+            word_freqs.select(
+                "freq", chars.alias("_cs"), F.posexplode(chars).alias("i", "left")
+            )
+            .where(F.col("i") < F.size("_cs") - 1)
+            .select(
+                "freq",
+                "left",
+                F.element_at("_cs", F.col("i") + 2).alias("right"),
+            )
+        )
+        return pairs.groupBy("left", "right").agg(F.sum("freq").alias("count"))
+
+    schema = "left string, right string, count long"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lefts: list[str] = []
+            rights: list[str] = []
+            counts: list[int] = []
+            for word, freq in zip(pdf["word"], pdf["freq"]):
+                syms = _apply_merges(list(word), merges)
+                for a, b in zip(syms, syms[1:]):
+                    lefts.append(a)
+                    rights.append(b)
+                    counts.append(int(freq))
+            out = pd.DataFrame({"left": lefts, "right": rights, "count": counts})
+            if not out.empty:
+                yield out.groupby(["left", "right"], as_index=False).sum()
+
+    return (
+        word_freqs.select("word", "freq")
+        .mapInPandas(kernel, schema)
+        .groupBy("left", "right")
+        .agg(F.sum("count").alias("count"))
+    )
+
+
+def train_bpe(
+    df: DataFrame, col: str = "text", n_merges: int = 10
+) -> list[tuple[str, str]]:
+    """The BPE merge list: ``n_merges`` rounds of most-frequent-pair
+    selection (ties to the lexicographically smallest pair — fully
+    deterministic). One bounded driver action per round; the corpus is
+    aggregated exactly once.
+    """
+    wf = word_freqs = word_frequencies(df, col).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        top = (
+            bpe_pair_counts(wf, merges)
+            .orderBy(F.desc("count"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        merges.append((top[0]["left"], top[0]["right"]))
+    return merges
+
+
+def bpe_encode_words(
+    word_freqs: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """(word, freq, tokens array<string>) — the trained segmentation of
+    the vocabulary (Arrow kernel over the bounded word table)."""
+    schema = "word string, freq long, tokens array<string>"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "freq": pdf["freq"],
+                    "tokens": [
+                        _apply_merges(list(w), merges) for w in pdf["word"]
+                    ],
+                }
+            )
+
+    return word_freqs.select("word", "freq").mapInPandas(kernel, schema)
