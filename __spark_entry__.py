@@ -52,7 +52,7 @@ from linkgraph.text.repetition import repetition_features
 from linkgraph.dedup.ngram import ngram_jaccard_pairs
 from linkgraph.dedup.simhash import simhash_near_duplicates
 from linkgraph.graph import edges as E
-from linkgraph.graph.edges import degree_drift, graph_diff
+from linkgraph.graph.edges import degree_drift, graph_diff, power_law_alpha
 from linkgraph.graph.components import component_of_edges, connected_components
 from linkgraph.graph.labelprop import label_propagation, seeded_label_propagation
 from linkgraph.graph.pagerank import pagerank
@@ -1695,6 +1695,13 @@ def _q_bpe_pairs(spark, sf):
     return bpe_pair_counts(word_frequencies(d))
 
 
+
+def _q_power_law(spark, sf):
+    edges = datasets.co_purchase_edges(spark, sf)
+    out = power_law_alpha(edges, d_min=2)
+    return out.select(F.round("alpha", 6).alias("alpha"), "n_tail", "d_min")
+
+
 def _q_media_features(spark, sf):
     # Scalar projection: the driver's canonicalizer cannot sort/hash an
     # array column, so posexplode the feature vector to one row per
@@ -1825,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_graph_stats": _q_windowed_stats,
         "graph_diff": _q_graph_diff,
         "degree_drift": _q_degree_drift,
+        "power_law_alpha": _q_power_law,
         "windowed_pagerank": _q_windowed_pagerank,
         "windowed_components": _q_windowed_components,
         "windowed_lpa": _q_windowed_lpa,
@@ -4457,6 +4465,16 @@ FROM pl LEFT JOIN ie ON ie.label = pl.label CROSS JOIN m
         "louvain_communities": _louvain_oracle(rounds=2),
         # (2 per C(cn,2), 2 diagonals per square) — integer-exact.
         "neighbor_agg": _neighagg_oracle(),
+        # CSN discrete-corrected MLE of the degree power-law exponent.
+        "power_law_alpha": f"""
+WITH {_E_DENSE},
+b AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+deg AS (SELECT src AS id, count(*) AS degree FROM b GROUP BY src),
+tail AS (SELECT degree FROM deg WHERE degree >= 2)
+SELECT round(1.0 + count(*) / sum(ln(degree / 1.5)), 6) AS alpha,
+       count(*) AS n_tail, CAST(2 AS BIGINT) AS d_min
+FROM tail
+""",
         # BPE round-0 pair statistics over the distinct-word table.
         "bpe_char_pairs": r"""
 WITH w AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word

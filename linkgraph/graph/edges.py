@@ -345,3 +345,26 @@ def degree_drift(old_edges: DataFrame, new_edges: DataFrame) -> DataFrame:
     return j.withColumn("delta", F.col("deg_new") - F.col("deg_old")).where(
         F.col("delta") != 0
     )
+
+
+def power_law_alpha(edges: DataFrame, d_min: int = 2) -> DataFrame:
+    """One row (alpha, n_tail, d_min): continuous-approximation MLE of
+    the degree-distribution power-law exponent (Clauset, Shalizi &
+    Newman, SIAM Rev. 2009, eq. 3.7 with the -1/2 discreteness
+    correction): alpha = 1 + n / sum(ln(d / (d_min - 1/2))) over
+    degrees >= d_min.
+
+    The skew diagnostic run before choosing hub thresholds
+    (partitioning.py): one degree aggregate + one 2-value scalar
+    aggregate — nothing bigger than the degree table is touched.
+    """
+    d = degrees(edges).where(F.col("degree") >= d_min)
+    return d.agg(
+        (
+            1.0
+            + F.count(F.lit(1))
+            / F.sum(F.log(F.col("degree") / F.lit(d_min - 0.5)))
+        ).alias("alpha"),
+        F.count(F.lit(1)).alias("n_tail"),
+        F.lit(d_min).cast("long").alias("d_min"),
+    )

@@ -106,3 +106,23 @@ def test_graph_diff_and_degree_drift(spark):
     # identical graphs: empty drift, jaccard 1
     same = graph_diff(edge_df(spark, old), edge_df(spark, old)).collect()[0]
     assert same["jaccard"] == 1.0 and same["n_added"] == same["n_removed"] == 0
+
+
+def test_power_law_alpha_replay(spark):
+    import math
+
+    from linkgraph.graph.edges import power_law_alpha
+    from tests.conftest import edge_df
+
+    # star-heavy graph: hub 0 plus small attachments
+    pairs = [(0, i) for i in range(1, 40)] + [(1, 2), (3, 4), (5, 6), (1, 3)]
+    deg = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    d_min = 2
+    tail = [d for d in deg.values() if d >= d_min]
+    want = 1 + len(tail) / sum(math.log(d / (d_min - 0.5)) for d in tail)
+    row = power_law_alpha(edge_df(spark, pairs), d_min=d_min).collect()[0]
+    assert row["n_tail"] == len(tail)
+    assert abs(row["alpha"] - want) < 1e-12
