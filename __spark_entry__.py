@@ -1713,25 +1713,78 @@ def _q_media_features(spark, sf):
     ).withColumn("value", F.round("value", 6))
 
 
+# The first 50 entries below are the DRIVER CONTRACT SET: the driver's
+# correctness gate evaluates registry positions 1-50, so this slice is
+# curated to cover (a) the reference graph core (triangles / truss / CC /
+# PageRank / LPA, SURVEY.md §2.1), and (b) the full LLM-data-pipeline
+# surface — dedup (exact/MinHash/SimHash/n-gram/embedding/semantic/
+# paragraph), ANN, text analysis/filters/packing, media, and event
+# sessionization — including every row that failed in round 1
+# (minhash_pairs, simhash_pairs, ngram_jaccard, embedding_lsh, ivf_topk,
+# media_features, events_sessionize).  tests/test_structure.py pins this
+# slice; do not insert entries above the sentinel without updating it.
+_CONTRACT_SET_SIZE = 50
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # ---- driver contract set: graph core (15) ----
         "copurchase_edges": _q_edges,
         "degrees": _q_degrees,
         "degree_histogram": _q_degree_histogram,
         "triangles": _q_triangles,
-        "triangles_sql": _q_triangles_sql,
         "triangles_csr": _q_triangles_csr,
         "triangle_count": _q_triangle_count,
         "edge_support": _q_edge_support,
         "reciprocal_edges": _q_reciprocal,
-        "in_out_degree_histograms": _q_inout_histo,
         "connected_components": _q_components,
-        "component_edges": _q_component_edges,
         "pagerank": _q_pagerank,
         "label_propagation": _q_lpa,
         "ktruss_4": _q_ktruss4,
-        "ktruss_components": _q_ktruss_components,
+        "max_truss": _q_max_truss,
+        "truss_decomposition": _q_truss_decomposition,
         "kcore_4": _q_kcore4,
+        # ---- driver contract set: LLM data pipeline (35) ----
+        "dedup_exact": _q_dedup_exact,
+        "dedup_groups": _q_dedup_groups,
+        "dedup_against": _q_dedup_against,
+        "dedup_clusters": _q_dedup_clusters,
+        "minhash_pairs": _q_minhash,
+        "simhash_pairs": _q_simhash,
+        "ngram_jaccard": _q_ngram,
+        "embedding_lsh": _q_embedding_lsh,
+        "embedding_topk": _q_embedding_topk,
+        "ivf_topk": _q_ivf_topk,
+        "semantic_dedup": _q_semantic_dedup,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "duplicate_spans": _q_duplicate_spans,
+        "duplicate_fraction": _q_duplicate_fraction,
+        "token_stats": _q_token_stats,
+        "quality_features": _q_quality,
+        "language_id": _q_language,
+        "sequence_packing": _q_sequence_packing,
+        "tfidf_top_terms": _q_tfidf,
+        "vocabulary": _q_vocabulary,
+        "oov_rate": _q_oov_rate,
+        "bpe_char_pairs": _q_bpe_pairs,
+        "ngram_decontamination": _q_decontam,
+        "c4_filter_stats": _q_c4_filters,
+        "gopher_filter_stats": _q_gopher_filters,
+        "code_filter_stats": _q_code_filters,
+        "repetition_features": _q_repetition,
+        "pii_redaction": _q_pii,
+        "quality_classifier": _q_quality_classifier,
+        "dsir_resample": _q_dsir_resample,
+        "media_features": _q_media_features,
+        "events_sessionize": _q_events_sessions,
+        "events_window_counts": _q_events_windows,
+        "events_funnel": _q_events_funnel,
+        "events_asof": _q_events_asof,
+        # ---- end of driver contract set (position 50) ----
+        "triangles_sql": _q_triangles_sql,
+        "in_out_degree_histograms": _q_inout_histo,
+        "component_edges": _q_component_edges,
+        "ktruss_components": _q_ktruss_components,
         "transitivity": _q_transitivity,
         "degree_assortativity": _q_assortativity,
         "pagerank_personalized": _q_ppr,
@@ -1763,14 +1816,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_centrality": _q_closeness,
         "pagerank_weighted": _q_pagerank_weighted,
         "clustering_coefficient": _q_clustering,
-        "max_truss": _q_max_truss,
-        "truss_decomposition": _q_truss_decomposition,
         "contracted_graph": _q_contracted_graph,
         "hyperball_balls": _q_hyperball,
         "kmeans_clusters": _q_kmeans,
         "pca_covariance": _q_pca_covariance,
         "pca_component": _q_pca_component,
-        "semantic_dedup": _q_semantic_dedup,
         "directed_triangles": _q_directed_triangles,
         "approx_triangles": _q_approx_triangles,
         "partition_ari": _q_partition_ari,
@@ -1780,47 +1830,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_cluster_sweep": _q_local_cluster,
         "length_percentiles": _q_length_percentiles,
         "weighted_sample": _q_weighted_sample,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_groups": _q_dedup_groups,
-        "token_stats": _q_token_stats,
-        "sequence_packing": _q_sequence_packing,
-        "tfidf_top_terms": _q_tfidf,
         "hash_sample": _q_hash_sample,
         "stratified_sample": _q_stratified_sample,
-        "vocabulary": _q_vocabulary,
-        "oov_rate": _q_oov_rate,
-        "bpe_char_pairs": _q_bpe_pairs,
-        "ngram_decontamination": _q_decontam,
-        "quality_features": _q_quality,
-        "language_id": _q_language,
-        "embedding_topk": _q_embedding_topk,
         "embedding_pairs": _q_embedding_pairs,
-        "embedding_lsh": _q_embedding_lsh,
-        "ivf_topk": _q_ivf_topk,
-        "minhash_pairs": _q_minhash,
-        "dedup_clusters": _q_dedup_clusters,
-        "repetition_features": _q_repetition,
         "random_walks": _q_random_walks,
         "ego_edges": _q_ego,
-        "simhash_pairs": _q_simhash,
-        "ngram_jaccard": _q_ngram,
         "pmi_pairs": _q_pmi,
         "term_frequencies": _q_term_frequencies,
         "heavy_hitters": _q_heavy_hitters,
-        "code_filter_stats": _q_code_filters,
-        "duplicate_spans": _q_duplicate_spans,
-        "duplicate_fraction": _q_duplicate_fraction,
         "rmat_graph": _q_rmat,
         "distribution_drift": _q_drift,
         "embedding_quantization": _q_quantize,
         "corpus_stats": _q_corpus_stats,
         "unigram_lm": _q_unigram_lm,
-        "quality_classifier": _q_quality_classifier,
-        "dsir_resample": _q_dsir_resample,
-        "c4_filter_stats": _q_c4_filters,
-        "gopher_filter_stats": _q_gopher_filters,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "pii_redaction": _q_pii,
         "community_modularity": _q_modularity,
         "louvain_communities": _q_louvain,
         "square_count": _q_square_count,
@@ -1840,15 +1862,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_similarity": _q_item_similarity,
         "butterfly_count": _q_butterflies,
         "graph_summary": _q_graph_summary,
-        "dedup_against": _q_dedup_against,
         "budget_select": _q_budget_select,
         "eccentricity": _q_eccentricity,
-        "media_features": _q_media_features,
-        "events_window_counts": _q_events_windows,
         "events_trending": _q_events_trending,
-        "events_sessionize": _q_events_sessions,
-        "events_funnel": _q_events_funnel,
-        "events_asof": _q_events_asof,
         "events_range_join": _q_events_range_join,
     }
 

@@ -66,7 +66,13 @@ def main() -> None:
 
         return _T()
 
-    # -- ingestion: synthetic corpus -> import edges (pandas-UDF regex) --
+    # Warm the JVM before the first timed stage: the first Spark job pays
+    # one-off executor-thread init + whole-stage-codegen compilation
+    # (~7s measured at local[32]); charging it to corpus_ingest made the
+    # r2 number noise-dominated (22.5s vs 1.5-3.6s steady-state).
+    spark.range(10_000).select(F.sha2(F.col("id").cast("string"), 256)).count()
+
+    # -- ingestion: synthetic corpus -> import edges (JVM regex parse) --
     with timed("corpus_ingest"):
         corpus = content_sha(
             synthetic_corpus(spark, n_files=200_000, n_repos=2_000, partitions=CPUS)

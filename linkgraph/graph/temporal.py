@@ -56,6 +56,16 @@ def windowed_triangle_counts(
     Per-window degree-ordered node-iterator: orient each window's
     edges from the lower-(degree, id) endpoint, wedge via a self-join
     on (win, lo), close against the oriented edge set on (win, b, c).
+
+    Join strategy mirrors the single-graph path (triangles._close_wedges
+    / _wedges_join) with the window id folded into every key: the
+    closing-edge build side is broadcast while the fleet-wide oriented
+    table fits, a bounded shuffled-hash build past that — the
+    O(sum deg_out^2) windowed wedge stream is hashed, NEVER sorted
+    (round-2 verdict: the plain join here SMJ-sorted the wedge side at
+    fleet scale). Sizing reuses the oriented-row count, one bounded
+    action that doubles as materialization of the shared lazy
+    checkpoint.
     """
     e = edges.select(F.col(window_col).alias("win"), "src", "dst")
     bidir = e.unionByName(
@@ -97,14 +107,27 @@ def windowed_triangle_counts(
         # instead of replaying the degree joins three times.
         .localCheckpoint(eager=False)
     )
-    o1 = oriented.select(
+    from linkgraph.graph.triangles import (
+        _BROADCAST_EDGE_LIMIT,
+        _shj_parts,
+        _shj_safe,
+    )
+
+    spark = edges.sparkSession
+    n_oriented = oriented.count()  # materializes the lazy checkpoint
+    wedge_src = oriented
+    if not _shj_safe(spark, n_oriented):
+        wedge_src = wedge_src.repartition(
+            _shj_parts(spark, n_oriented), "win", "lo"
+        )
+    o1 = wedge_src.select(
         F.col("win").alias("w1"), F.col("lo").alias("l1"),
         F.col("hi").alias("b"), F.col("dhi").alias("db"),
     )
-    o2 = oriented.select(
+    o2 = wedge_src.select(
         F.col("win").alias("w2"), F.col("lo").alias("l2"),
         F.col("hi").alias("c"), F.col("dhi").alias("dc"),
-    )
+    ).hint("shuffle_hash")
     wedges = o1.join(
         o2, (o1["w1"] == o2["w2"]) & (o1["l1"] == o2["l2"])
     ).where(
@@ -113,7 +136,17 @@ def windowed_triangle_counts(
     closing = oriented.select(
         F.col("win").alias("win"), F.col("lo").alias("b"), F.col("hi").alias("c")
     )
-    tri = wedges.join(closing, ["win", "b", "c"])
+    if n_oriented <= _BROADCAST_EDGE_LIMIT:
+        tri = wedges.join(F.broadcast(closing), ["win", "b", "c"])
+    elif _shj_safe(spark, n_oriented):
+        tri = wedges.join(closing.hint("shuffle_hash"), ["win", "b", "c"])
+    else:
+        tri = wedges.join(
+            closing.repartition(
+                _shj_parts(spark, n_oriented), "win", "b", "c"
+            ).hint("shuffle_hash"),
+            ["win", "b", "c"],
+        )
     counts = tri.groupBy("win").agg(F.count(F.lit(1)).alias("n_triangles"))
     # windows whose graph has no triangles still get a row
     wins = e.select("win").distinct()

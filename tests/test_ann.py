@@ -74,3 +74,20 @@ def test_ivf_partial_probe_recall(spark):
         ivf.setdefault(r["query_id"], set()).add(r["id"])
     recalls = [len(bf[q] & ivf.get(q, set())) / len(bf[q]) for q in bf]
     assert sum(recalls) / len(recalls) >= 0.9  # clustered data, 3/8 cells
+
+
+def test_centroids_are_partition_layout_independent(spark):
+    """IVF centroids must be identical regardless of how the corpus is
+    partitioned (round-2 verdict: a bare limit().collect() sample made
+    cells/recall vary across parallelism levels)."""
+    from linkgraph.sim.ann import _train_centroids
+
+    df = _vectors(spark)
+    cents = [
+        _train_centroids(
+            df.repartition(p), "embedding", n_cells=8, sample=64, seed=3
+        )
+        for p in (1, 2, 13)
+    ]
+    np.testing.assert_array_equal(cents[0], cents[1])
+    np.testing.assert_array_equal(cents[0], cents[2])
