@@ -1575,7 +1575,8 @@ def _q_gopher_filters(spark, sf):
         "doc_id",
         "g_n_words",
         "g_mean_word_len",
-        "g_symbol_ratio",
+        "g_hash_ratio",
+        "g_ellipsis_sym_ratio",
         "g_bullet_ratio",
         "g_ellipsis_ratio",
         "g_alpha_word_ratio",
@@ -4363,9 +4364,11 @@ s AS (SELECT doc_id,
               ELSE list_sum(list_transform(words, x -> length(x)))
                    / CAST(len(words) AS DOUBLE) END, 6) AS g_mean_word_len,
         round(CASE WHEN len(words) = 0 THEN 0.0
-              ELSE ((length(t) - length(replace(t, '#', '')))
-                    + len(regexp_extract_all(t, '\.\.\.|…', 0)))
-                   / CAST(len(words) AS DOUBLE) END, 6) AS g_symbol_ratio,
+              ELSE (length(t) - length(replace(t, '#', '')))
+                   / CAST(len(words) AS DOUBLE) END, 6) AS g_hash_ratio,
+        round(CASE WHEN len(words) = 0 THEN 0.0
+              ELSE len(regexp_extract_all(t, '\.\.\.|…', 0))
+                   / CAST(len(words) AS DOUBLE) END, 6) AS g_ellipsis_sym_ratio,
         round(CASE WHEN len(lines) = 0 THEN 0.0
               ELSE len(list_filter(lines, x ->
                      starts_with(x, '- ') OR starts_with(x, '* ')
@@ -4384,11 +4387,13 @@ s AS (SELECT doc_id,
                               list_transform(words, x -> lower(x)), sw)
                           THEN 1 ELSE 0 END)) AS BIGINT) AS g_stop_hits
       FROM w)
-SELECT doc_id, g_n_words, g_mean_word_len, g_symbol_ratio, g_bullet_ratio,
+SELECT doc_id, g_n_words, g_mean_word_len, g_hash_ratio,
+       g_ellipsis_sym_ratio, g_bullet_ratio,
        g_ellipsis_ratio, g_alpha_word_ratio, g_stop_hits,
        CAST((g_n_words BETWEEN 30 AND 100000
              AND g_mean_word_len BETWEEN 3.0 AND 10.0
-             AND g_symbol_ratio <= 0.1
+             AND g_hash_ratio <= 0.1
+             AND g_ellipsis_sym_ratio <= 0.1
              AND g_bullet_ratio <= 0.5
              AND g_ellipsis_ratio <= 0.2
              AND g_alpha_word_ratio >= 0.8

@@ -73,7 +73,15 @@ def neighbor_agg(
     fn = _AGGS[agg]
     b = _bidirect(edges)
     if include_self:
-        ids = b.select(F.col("src").alias("id")).distinct()
+        # Self-loop set = edge endpoints UNION feature-table ids, so an
+        # isolated vertex (features but no edges) keeps its row too —
+        # "every vertex keeps a row" means every vertex either side of
+        # the inputs knows about.
+        ids = (
+            b.select(F.col("src").alias("id"))
+            .unionByName(features.select(F.col(id_col).alias("id")))
+            .distinct()
+        )
         b = b.unionByName(
             ids.select(F.col("id").alias("src"), F.col("id").alias("dst"))
         )

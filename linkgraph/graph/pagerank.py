@@ -198,8 +198,12 @@ def pagerank(
         # departed vertices drop out via the inner vertex set. Then
         # renormalize to exact sum 1 so the invariant every later round
         # relies on (mass conservation) holds from round 1.
-        ir = init_ranks.select(
-            F.col("id").alias("_iid"), F.col("rank").cast("double").alias("_ir")
+        # Aggregate duplicate init ids up front: a duplicated id would
+        # otherwise fan the state row out through every superstep join
+        # (renormalization hides the inflated mass but the final ranks
+        # are wrong). Summing duplicates is the one deterministic merge.
+        ir = init_ranks.groupBy(F.col("id").alias("_iid")).agg(
+            F.sum(F.col("rank").cast("double")).alias("_ir")
         )
         state = (
             state.join(ir, state["id"] == ir["_iid"], "left_outer")
@@ -210,6 +214,12 @@ def pagerank(
             )
         )
         total = state.agg(F.sum("rank")).collect()[0][0]
+        if total is None or total <= 0.0:
+            raise ValueError(
+                "init_ranks must carry positive total mass over the graph's "
+                f"vertices (got total={total}); an all-zero or disjoint warm "
+                "start would renormalize to NaN ranks"
+            )
         state = state.select(
             "id", (F.col("rank") / F.lit(total)).alias("rank"), "out_deg"
         ).localCheckpoint(eager=True)

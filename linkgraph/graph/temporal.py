@@ -18,6 +18,8 @@ graph/triangles.py, window by window.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -250,6 +252,7 @@ def windowed_components(
         .select("win", "id", F.col("id").alias("label"))
         .localCheckpoint(eager=True)
     )
+    n_changed = 0
     for _ in range(int(max_rounds)):
         s = labels.select(
             F.col("win").alias("_w"), F.col("id").alias("_i"),
@@ -275,6 +278,21 @@ def windowed_components(
         labels = merged.select("win", "id", "label")
         if n_changed == 0:
             break
+    else:
+        # Mirror the single-graph star algorithm's convergence reporting:
+        # exiting at max_rounds with labels still moving means some
+        # window's diameter exceeds the round budget and its labels are
+        # NOT final — surface it instead of returning silently.
+        if n_changed > 0:
+            warnings.warn(
+                f"windowed_components exited at max_rounds={max_rounds} "
+                f"with {n_changed} labels still changing (a window's "
+                "diameter exceeds the round budget); labels are "
+                "unconverged — raise max_rounds or use components.py's "
+                "O(log n) star algorithm per window",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     links.unpersist()
     return labels
 

@@ -9,7 +9,8 @@ whole-document shape statistics —
 
   word count in [min_words, max_words]
   mean word length in [min_mean_word_len, max_mean_word_len]
-  symbol-to-word ratio ('#' or '...') <= max_symbol_ratio
+  hash-to-word ratio ('#') <= max_symbol_ratio
+  ellipsis-to-word ratio ('...') <= max_symbol_ratio
   fraction of lines starting with a bullet <= max_bullet_ratio
   fraction of lines ending with an ellipsis <= max_ellipsis_ratio
   fraction of words with >= 1 alphabetic char >= min_alpha_word_ratio
@@ -55,7 +56,11 @@ def gopher_filters(
     New columns:
       g_n_words          — whitespace words
       g_mean_word_len    — mean word length (0.0 for empty docs)
-      g_symbol_ratio     — ('#' + '...') occurrences per word
+      g_hash_ratio       — '#' occurrences per word
+      g_ellipsis_sym_ratio — '...' / '…' occurrences per word
+                           (each compared to max_symbol_ratio
+                           SEPARATELY, per the paper's A1.1 wording;
+                           pooling them was stricter than Gopher)
       g_bullet_ratio     — fraction of non-blank lines starting - / * / •
       g_ellipsis_ratio   — fraction of non-blank lines ending '...' / '…'
       g_alpha_word_ratio — fraction of words containing a letter
@@ -80,8 +85,11 @@ def gopher_filters(
     n_ell = F.size(
         F.regexp_extract_all(F.col(col), F.lit(r"\.\.\.|…"), F.lit(0))
     )
-    symbol_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
-        (n_hash + n_ell) / n_words.cast("double")
+    hash_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        n_hash / n_words.cast("double")
+    )
+    ell_sym_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        n_ell / n_words.cast("double")
     )
 
     lines = F.filter(F.split(F.col(col), r"\n"), lambda l: F.length(F.trim(l)) > 0)
@@ -119,7 +127,8 @@ def gopher_filters(
     out = (
         df.withColumn("g_n_words", n_words)
         .withColumn("g_mean_word_len", F.round(mean_wl, 6))
-        .withColumn("g_symbol_ratio", F.round(symbol_ratio, 6))
+        .withColumn("g_hash_ratio", F.round(hash_ratio, 6))
+        .withColumn("g_ellipsis_sym_ratio", F.round(ell_sym_ratio, 6))
         .withColumn("g_bullet_ratio", F.round(bullet_ratio, 6))
         .withColumn("g_ellipsis_ratio", F.round(ellipsis_ratio, 6))
         .withColumn("g_alpha_word_ratio", F.round(alpha_ratio, 6))
@@ -129,7 +138,8 @@ def gopher_filters(
         "keep_gopher",
         F.col("g_n_words").between(min_words, max_words)
         & F.col("g_mean_word_len").between(min_mean_word_len, max_mean_word_len)
-        & (F.col("g_symbol_ratio") <= max_symbol_ratio)
+        & (F.col("g_hash_ratio") <= max_symbol_ratio)
+        & (F.col("g_ellipsis_sym_ratio") <= max_symbol_ratio)
         & (F.col("g_bullet_ratio") <= max_bullet_ratio)
         & (F.col("g_ellipsis_ratio") <= max_ellipsis_ratio)
         & (F.col("g_alpha_word_ratio") >= min_alpha_word_ratio)
@@ -141,6 +151,7 @@ def apply_gopher(df: DataFrame, col: str = "text", **kwargs) -> DataFrame:
     """The filtering form: surviving documents, statistics dropped."""
     feats = gopher_filters(df, col=col, **kwargs)
     return feats.where(F.col("keep_gopher")).drop(
-        "g_n_words", "g_mean_word_len", "g_symbol_ratio", "g_bullet_ratio",
+        "g_n_words", "g_mean_word_len", "g_hash_ratio",
+        "g_ellipsis_sym_ratio", "g_bullet_ratio",
         "g_ellipsis_ratio", "g_alpha_word_ratio", "g_stop_hits", "keep_gopher",
     )

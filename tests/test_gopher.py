@@ -28,8 +28,10 @@ def py_stats(text):
     words = re.split(r"\s+", t) if t else []
     n_words = len(words)
     mean_wl = sum(len(w) for w in words) / n_words if n_words else 0.0
-    n_sym = text.count("#") + len(re.findall(r"\.\.\.|…", text))
-    symbol_ratio = n_sym / n_words if n_words else 0.0
+    hash_ratio = text.count("#") / n_words if n_words else 0.0
+    ell_sym_ratio = (
+        len(re.findall(r"\.\.\.|…", text)) / n_words if n_words else 0.0
+    )
     lines = [l for l in text.split("\n") if l.strip()]
     n_lines = len(lines)
     bullet = (
@@ -56,7 +58,8 @@ def py_stats(text):
     return (
         n_words,
         round(mean_wl, 6),
-        round(symbol_ratio, 6),
+        round(hash_ratio, 6),
+        round(ell_sym_ratio, 6),
         round(bullet, 6),
         round(ell, 6),
         round(alpha, 6),
@@ -68,7 +71,8 @@ def test_stats_vs_replay(spark):
     df = spark.createDataFrame(DOCS, "doc_id long, text string")
     got = {
         r["doc_id"]: (
-            r["g_n_words"], r["g_mean_word_len"], r["g_symbol_ratio"],
+            r["g_n_words"], r["g_mean_word_len"], r["g_hash_ratio"],
+            r["g_ellipsis_sym_ratio"],
             r["g_bullet_ratio"], r["g_ellipsis_ratio"],
             r["g_alpha_word_ratio"], r["g_stop_hits"],
         )
@@ -77,9 +81,9 @@ def test_stats_vs_replay(spark):
     for i, text in DOCS:
         want = py_stats(text)
         assert got[i][0] == want[0], i
-        for g, w in zip(got[i][1:6], want[1:6]):
+        for g, w in zip(got[i][1:7], want[1:7]):
             assert abs(g - w) < 1e-9, (i, got[i], want)
-        assert got[i][6] == want[6], i
+        assert got[i][7] == want[7], i
 
 
 def test_verdicts(spark):

@@ -106,3 +106,19 @@ def test_isolated_vertex_drops_without_self(spark):
     )
     ids = {r["id"] for r in neighbor_agg(e, fdf).select("id").distinct().collect()}
     assert ids == {1, 2}  # 9 has no edges, no aggregate row
+
+
+def test_include_self_keeps_isolated_feature_vertices(spark):
+    # vertex 99 has features but no edges: include_self must keep it
+    from linkgraph.graph.neighagg import neighbor_agg
+
+    e = edge_df(spark, [(1, 2)])
+    fdf = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0]), (99, [5.0, 6.0])],
+        "id long, feature array<double>",
+    )
+    got = {}
+    for r in neighbor_agg(e, fdf, hops=2, agg="mean", include_self=True).collect():
+        got.setdefault(r["id"], {})[r["dim"]] = r["value"]
+    assert 99 in got
+    assert got[99] == {0: 5.0, 1: 6.0}

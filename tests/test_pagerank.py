@@ -199,3 +199,32 @@ def test_warm_start_same_fixpoint_fewer_rounds(spark):
     for v in want:
         assert abs(got[v] - want[v]) < 1e-7, v
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_warm_start_duplicate_init_ids_are_aggregated(spark):
+    pairs = _gnp_pairs(40, 0.12, seed=13)
+    e = edge_df(spark, pairs)
+    fix = pagerank(e, tol=1e-10, max_iter=200).ranks
+    # split every init row into two half-mass duplicates: after the
+    # sum-aggregate they are equivalent to the clean warm start
+    halves = fix.selectExpr("id", "rank / 2 as rank")
+    dup = halves.unionAll(halves)
+    warm = pagerank(e, tol=1e-10, max_iter=200, init_ranks=dup)
+    got = {r["id"]: r["rank"] for r in warm.ranks.collect()}
+    want = {r["id"]: r["rank"] for r in fix.collect()}
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9
+
+
+def test_warm_start_zero_mass_rejected(spark):
+    import pytest
+
+    pairs = _gnp_pairs(20, 0.2, seed=3)
+    e = edge_df(spark, pairs)
+    zeros = (
+        e.selectExpr("explode(array(src, dst)) as id")
+        .distinct()
+        .selectExpr("id", "cast(0.0 as double) as rank")
+    )
+    with pytest.raises(ValueError, match="positive total mass"):
+        pagerank(e, max_iter=5, init_ranks=zeros)
