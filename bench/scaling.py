@@ -282,7 +282,9 @@ def materialize_edges() -> None:
     spark = build_session("scaling-gen", master="local[32]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     corpus = synthetic_corpus(spark, n_files=N_FILES, n_repos=N_REPOS, partitions=32)
-    import_edges(corpus).write.mode("overwrite").parquet(EDGES_PATH)
+    # n_files gates the module-index join: past ~20M files the per-file
+    # index must shuffle-join instead of broadcasting.
+    import_edges(corpus, n_files=N_FILES).write.mode("overwrite").parquet(EDGES_PATH)
     spark.stop()
 
 

@@ -193,10 +193,72 @@ def build_long_bloom(
     One JVM-side pass (treeAggregate inside Dataset.stat.bloomFilter);
     only the finished bit array crosses to Python. Probe executor-side
     with ``sketch.might_contain_longs(xxhash64_longs([a, b]))``.
+
+    Spark 4 silently clamps stat.bloomFilter sizing to the RUNTIME
+    row-filter limits (maxNumBits = 2^26 bits / 8 MB, maxNumItems =
+    4M): past ~7M items the returned filter is saturated — measured
+    fill 0.999 and ~0.98 false-positive rate at 37M items, i.e. a
+    no-op that let the full 678M-row wedge stream through the triangle
+    close exchange. Both limits are runtime-settable, so raise them to
+    the requested sizing for the build and restore afterwards; the
+    result is the textbook -n*ln(p)/ln(2)^2 bit count with optimal k
+    (verified fpp 0.0099 at 37M real insertions).
     """
-    keyed = df.select(F.xxhash64(*[F.col(c) for c in cols]).alias("__bloom_key"))
-    jbf = keyed._jdf.stat().bloomFilter("__bloom_key", int(expected_items), float(fpp))
+    import math
+
+    conf = df.sparkSession.conf
+    bits_key = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    items_key = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    need_bits = int(math.ceil(-expected_items * math.log(fpp) / math.log(2) ** 2)) + 64
+    old = {k: conf.get(k, None) for k in (bits_key, items_key)}
+    conf.set(bits_key, str(max(need_bits, 67_108_864)))
+    conf.set(items_key, str(max(int(expected_items), 4_000_000)))
+    try:
+        keyed = df.select(
+            F.xxhash64(*[F.col(c) for c in cols]).alias("__bloom_key")
+        )
+        # Each input partition produces one bit-array-sized partial that a
+        # SINGLE merge task ORs together (aggregate's final combine) — at
+        # 32 partitions x 45 MB that merge was a 6.4 s serial stage in
+        # the lc:4 triangle profile (15 s aggregate at local[32] vs 4.2 s
+        # with 8 partials). Coalesce (no shuffle) to a QUARTER of the
+        # input partitions, floor 8: merge bytes drop 4x while the scan
+        # keeps proportional parallelism at any cluster size (a fixed
+        # count would serialize the scan on a 1000-executor cluster).
+        n_parts = keyed.rdd.getNumPartitions()
+        if n_parts > 8:
+            keyed = keyed.coalesce(max(8, n_parts // 4))
+        jbf = keyed._jdf.stat().bloomFilter(
+            "__bloom_key", int(expected_items), float(fpp)
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+    # py4j returns byte[] over its Base64 text protocol — ~45 MB of
+    # filter became a multi-second driver stall. Round-trip through a
+    # local temp file instead (driver-side only; never on executors).
+    import os
+    import tempfile
+
     jvm = df.sparkSession._jvm
-    bos = jvm.java.io.ByteArrayOutputStream()
-    jbf.writeTo(bos)
-    return parse_bloom_bytes(bytes(bos.toByteArray()))
+    fd, path = tempfile.mkstemp(suffix=".bloom")
+    os.close(fd)
+    try:
+        # BloomFilterImpl.writeTo emits one DataOutputStream write per
+        # 8-byte word — unbuffered, that is millions of tiny syscalls
+        # (~2 s at 45 MB); a 1 MB buffer makes it I/O-bound (<0.2 s).
+        fos = jvm.java.io.BufferedOutputStream(
+            jvm.java.io.FileOutputStream(path), 1 << 20
+        )
+        try:
+            jbf.writeTo(fos)
+        finally:
+            fos.close()
+        with open(path, "rb") as fh:
+            payload = fh.read()
+    finally:
+        os.unlink(path)
+    return parse_bloom_bytes(payload)

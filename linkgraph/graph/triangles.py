@@ -73,7 +73,10 @@ def _oriented(edges: DataFrame) -> DataFrame:
     cannot anchor a wedge); Catalyst pushes it below the projection.
     """
     oriented = E.orient_by_degree(E.with_degrees(edges))
-    return oriented.where(F.col("lo_deg") > 1)
+    # Project lo_deg away after the filter: no kernel reads it, and the
+    # oriented table is checkpointed and re-exchanged several times —
+    # 3 longs/row instead of 4 cuts every one of those by 25%.
+    return oriented.where(F.col("lo_deg") > 1).select("lo", "hi", "hi_deg")
 
 
 _BROADCAST_EDGE_LIMIT = 20_000_000  # rows; 2 longs/row ~ 320MB serialized

@@ -137,11 +137,19 @@ def module_index(corpus: DataFrame) -> DataFrame:
     ).where(F.col("module") != ".").distinct()
 
 
+# Rows past which the module index stops being force-broadcast: one row
+# per file means a 1e12-file corpus has a 1e12-row index — at that scale
+# the resolve join must shuffle on module (bucket the index table by
+# module in production so the corpus side is the only exchange).
+_BROADCAST_INDEX_LIMIT = 20_000_000
+
+
 def edge_candidates(
     corpus: DataFrame,
     index: DataFrame,
     parser: str = "jvm",
     carry: list[str] | None = None,
+    broadcast_index: bool | None = None,
 ) -> DataFrame:
     """(src, dst, *carry) — one row per RESOLVED import mention, not
     deduped: the stream-safe core of import_edges (a stateless
@@ -149,6 +157,11 @@ def edge_candidates(
     readStream). ``carry`` threads extra columns (e.g. an ingest
     timestamp) through to the output so a streaming caller can bound
     its dedup state with a watermark.
+
+    ``broadcast_index``: True forces the broadcast resolve join, False
+    forces a shuffle join (the 1e12-file shape), None (default) keeps
+    the broadcast — callers with a huge index pass False or let
+    ``import_edges`` gate on a known index size.
     """
     carry = carry or []
     if parser == "jvm":
@@ -158,9 +171,12 @@ def edge_candidates(
     mentions = corpus.select("repo", *carry, mods.alias("mods")).select(
         "repo", *carry, F.explode("mods").alias("module")
     )
-    resolved = mentions.join(
-        F.broadcast(index.withColumnRenamed("repo", "dst_repo")), "module"
-    ).where(F.col("repo") != F.col("dst_repo"))
+    idx = index.withColumnRenamed("repo", "dst_repo")
+    if broadcast_index is not False:
+        idx = F.broadcast(idx)
+    resolved = mentions.join(idx, "module").where(
+        F.col("repo") != F.col("dst_repo")
+    )
     ids = resolved.select(
         F.abs(F.xxhash64("repo")).alias("a"),
         F.abs(F.xxhash64("dst_repo")).alias("b"),
@@ -172,7 +188,10 @@ def edge_candidates(
 
 
 def import_edges(
-    corpus: DataFrame, index: DataFrame | None = None, parser: str = "jvm"
+    corpus: DataFrame,
+    index: DataFrame | None = None,
+    parser: str = "jvm",
+    n_files: int | None = None,
 ) -> DataFrame:
     """Repo-level dependency edges from import statements.
 
@@ -190,7 +209,12 @@ def import_edges(
       single regex (tree-sitter, per-lang resolvers); never per-row.
     """
     index = index if index is not None else module_index(corpus)
-    return edge_candidates(corpus, index, parser).distinct()
+    # The index has ~one row per file; gate the broadcast on the known
+    # file count (no extra scan — callers that know their corpus size
+    # pass it; None keeps the historical broadcast, which is right for
+    # any index AQE/driver memory can hold).
+    bc = None if n_files is None else n_files <= _BROADCAST_INDEX_LIMIT
+    return edge_candidates(corpus, index, parser, broadcast_index=bc).distinct()
 
 
 def commit_cooccurrence_edges(

@@ -137,3 +137,16 @@ def test_commit_cooccurrence_edges(spark):
     ).collect()
     fid_to_repo = {r["fid"]: r["repo"] for r in files}
     assert all(fid_to_repo[r["src"]] == fid_to_repo[r["dst"]] for r in rows)
+
+
+def test_import_edges_shuffle_join_path_matches_broadcast(spark):
+    """Past _BROADCAST_INDEX_LIMIT files the resolve join shuffles
+    instead of broadcasting the per-file module index; both paths must
+    produce the identical edge set."""
+    corpus = synthetic_corpus(spark, n_files=300)
+    bc = {(r["src"], r["dst"]) for r in import_edges(corpus).collect()}
+    sh = {
+        (r["src"], r["dst"])
+        for r in import_edges(corpus, n_files=10**13).collect()
+    }
+    assert bc == sh and len(bc) > 0
