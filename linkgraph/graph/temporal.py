@@ -150,9 +150,11 @@ def windowed_triangle_counts(
             ["win", "b", "c"],
         )
     counts = tri.groupBy("win").agg(F.count(F.lit(1)).alias("n_triangles"))
-    # windows whose graph has no triangles still get a row
+    # windows whose graph has no triangles still get a row; counts is
+    # <= one row per window, so broadcast it explicitly instead of
+    # leaving AQE to discover that at runtime.
     wins = e.select("win").distinct()
-    return wins.join(counts, "win", "left_outer").select(
+    return wins.join(F.broadcast(counts), "win", "left_outer").select(
         "win", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
     )
 

@@ -140,8 +140,13 @@ def module_index(corpus: DataFrame) -> DataFrame:
 # Rows past which the module index stops being force-broadcast: one row
 # per file means a 1e12-file corpus has a 1e12-row index — at that scale
 # the resolve join must shuffle on module (bucket the index table by
-# module in production so the corpus side is the only exchange).
-_BROADCAST_INDEX_LIMIT = 20_000_000
+# module in production so the corpus side is the only exchange). The
+# limit is LOW because the broadcast's cost is a SERIAL driver-side
+# hash-relation build: measured at 1.6M/6.4M-file corpora (local, 8 vs
+# 32 threads), the broadcast path flattens at 8->32 efficiency
+# 0.40-0.48 while the shuffle join holds 0.52-0.71 and is absolutely
+# faster from ~1M index rows up (BENCH/BASELINE.md round-3 table).
+_BROADCAST_INDEX_LIMIT = 1_000_000
 
 
 def edge_candidates(

@@ -175,7 +175,15 @@ def train_bpe(
             break
         pair = (top[0]["left"], top[0]["right"])
         merges.append(pair)
-        seg = _merge_pair(seg, pair).localCheckpoint(eager=True)
+        # _merge_pair's hit/miss union doubles the partition count, and
+        # localCheckpoint preserves it — unbounded, that is 2^round
+        # tasks by round 20. Coalesce back to the word table's layout
+        # before materializing.
+        seg = (
+            _merge_pair(seg, pair)
+            .coalesce(max(1, wf.rdd.getNumPartitions()))
+            .localCheckpoint(eager=True)
+        )
     return merges
 
 

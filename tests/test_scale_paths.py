@@ -137,3 +137,33 @@ def test_lpa_bucketed_shuffle_checkpoints_match(spark, graph, tmp_path, monkeypa
         map(tuple, got.labels.collect())
     )
     assert any(h.get("bucket") for h in ck.history)
+
+
+def test_windowed_triangle_close_shuffle_mode_matches_broadcast(
+    spark, graph, monkeypatch
+):
+    """Fleet (windowed) triangle close past the broadcast limit: same
+    gating as the single-graph path with the window id in every key —
+    bounded shuffled-hash build, the windowed wedge stream is hashed,
+    never sorted (round-2 verdict item)."""
+    import linkgraph.graph.temporal as tmp_mod
+
+    fleet = graph.select(
+        (F.col("src") % 2).cast("int").alias("win"), "src", "dst"
+    ).unionByName(
+        graph.select(F.lit(2).cast("int").alias("win"), "src", "dst")
+    )
+    want = sorted(
+        map(tuple, tmp_mod.windowed_triangle_counts(fleet, "win").collect())
+    )
+    monkeypatch.setattr(tri_mod, "_BROADCAST_EDGE_LIMIT", 0)
+    monkeypatch.setattr(tri_mod, "_SHJ_BUILD_ROWS_LIMIT", 0)
+    wt = tmp_mod.windowed_triangle_counts(fleet, "win")
+    got = sorted(map(tuple, wt.collect()))
+    assert got == want
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        wt.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" in plan
