@@ -1703,6 +1703,31 @@ def _q_power_law(spark, sf):
     return out.select(F.round("alpha", 6).alias("alpha"), "n_tail", "d_min")
 
 
+# Fixed subword vocabulary for the wordpiece_tokens driver query: the
+# Spark query and the DuckDB oracle replay the SAME greedy
+# longest-match segmentation, so the list must stay identical in both.
+_WORDPIECE_VOCAB = [
+    "the", "er", "ing", "on", "re", "ti", "en", "an", "in", "ed",
+    "es", "at", "or", "al", "te", "st", "ar", "nd", "to", "nt",
+    "is", "of", "it", "ou", "le",
+]
+
+
+def _q_wordpiece(spark, sf):
+    # Greedy longest-match (WordPiece-style) corpus encoding against a
+    # fixed vocabulary; the token sequence is fingerprinted (md5 over a
+    # \x1f-joined string) so the compared columns stay scalar.
+    from linkgraph.text.tokenize import encode_corpus
+
+    docs = datasets.load(spark, sf, "documents")
+    enc = encode_corpus(docs, _WORDPIECE_VOCAB)
+    return enc.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.md5(F.concat_ws("\x1f", "tokens")).alias("tokens_md5"),
+    )
+
+
 def _q_media_features(spark, sf):
     # Scalar projection: the driver's canonicalizer cannot sort/hash an
     # array column, so posexplode the feature vector to one row per
@@ -1867,6 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity": _q_eccentricity,
         "events_trending": _q_events_trending,
         "events_range_join": _q_events_range_join,
+        "wordpiece_tokens": _q_wordpiece,
     }
 
 
@@ -3883,6 +3909,46 @@ b AS (SELECT user_id, ts, event_id, value
 SELECT b.user_id, epoch_us(b.ts) AS ts_us, b.event_id,
        round(b.value, 6) AS value, v.view_event_id, v.view_value
 FROM b ASOF LEFT JOIN v ON b.user_id = v.user_id AND b.ts >= v.ts
+""",
+        # Greedy longest-match tokenization replay: per DISTINCT word, a
+        # recursive CTE advances a cursor picking the longest fixed-
+        # vocab entry prefixing the remainder (single-char fallback),
+        # then tokens re-join the (doc, pos) stream and are
+        # fingerprinted in document order — byte-identical to the
+        # Spark kernel's greedy_tokenize_word.
+        "wordpiece_tokens": """
+WITH RECURSIVE
+v(tok) AS (SELECT unnest(['the','er','ing','on','re','ti','en','an',
+                          'in','ed','es','at','or','al','te','st','ar',
+                          'nd','to','nt','is','of','it','ou','le'])),
+t AS (SELECT doc_id, trim(lower(text)) AS tx FROM documents
+      WHERE length(trim(text)) > 0),
+wa AS (SELECT doc_id, regexp_split_to_array(tx, '\\s+') AS ws FROM t),
+w AS (SELECT * FROM (
+        SELECT doc_id, generate_subscripts(ws, 1) AS pos,
+               unnest(ws) AS word FROM wa)
+      WHERE length(word) > 0),
+dw AS (SELECT DISTINCT word FROM w),
+seg(word, i, toks) AS (
+  SELECT word, CAST(1 AS BIGINT), CAST([] AS VARCHAR[]) FROM dw
+  UNION ALL
+  SELECT word, i + length(m), list_append(toks, m) FROM (
+    SELECT s.word, s.i, s.toks,
+           coalesce((SELECT tok FROM v
+                     WHERE substr(s.word, CAST(s.i AS INT),
+                                  length(tok)) = tok
+                     ORDER BY length(tok) DESC LIMIT 1),
+                    substr(s.word, CAST(s.i AS INT), 1)) AS m
+    FROM seg s WHERE s.i <= length(s.word))),
+perword AS (SELECT word, toks FROM seg WHERE i > length(word)),
+perdoc AS (
+  SELECT w.doc_id,
+         flatten(list(pw.toks ORDER BY w.pos)) AS tokens
+  FROM w JOIN perword pw USING (word)
+  GROUP BY w.doc_id)
+SELECT doc_id, len(tokens) AS n_tokens,
+       md5(array_to_string(tokens, chr(31))) AS tokens_md5
+FROM perdoc
 """,
         "events_range_join": """
 WITH e AS (
