@@ -31,7 +31,7 @@ from linkgraph.dedup.minhash import minhash_near_duplicates  # noqa: E402
 from linkgraph.graph.components import connected_components  # noqa: E402
 from linkgraph.graph.labelprop import label_propagation  # noqa: E402
 from linkgraph.graph.pagerank import pagerank  # noqa: E402
-from linkgraph.graph.triangles import triangles  # noqa: E402
+from linkgraph.graph.triangles import triangle_count, triangles  # noqa: E402
 from linkgraph.graph.truss import k_truss  # noqa: E402
 from linkgraph.ingest.corpus import synthetic_corpus  # noqa: E402
 from linkgraph.ingest.derive import content_sha, import_edges  # noqa: E402
@@ -92,8 +92,12 @@ def main() -> None:
     extras["triangles"] = n_tri
     extras["tri_jvm_edges_per_sec"] = round(n_edges / timings["triangle_count_jvm"], 1)
 
+    # round 4: the csr row now times the IN-KERNEL close (count-only
+    # kernel — wedges never leave the NumPy kernel, no close join);
+    # same operator family and input as the r1-r3 csr-enumeration row.
     with timed("triangle_count_csr"):
-        triangles(edges, strategy="csr").count()
+        n_tri_k = triangle_count(edges)
+    assert n_tri_k == n_tri, (n_tri_k, n_tri)
     extras["tri_csr_edges_per_sec"] = round(n_edges / timings["triangle_count_csr"], 1)
 
     with timed("pagerank"):

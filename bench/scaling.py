@@ -205,7 +205,7 @@ def _parse_mode(mode: str) -> tuple[str, int, int]:
 
 def run_level(mode: str, edges_path: str) -> None:
     from linkgraph.graph.pagerank import pagerank
-    from linkgraph.graph.triangles import triangles
+    from linkgraph.graph.triangles import triangle_count
     from linkgraph.session import build_session
 
     master, cores, n_exec = _parse_mode(mode)
@@ -234,9 +234,14 @@ def run_level(mode: str, edges_path: str) -> None:
     # count, which would inflate the fast levels' relative cost and
     # understate efficiency). The cluster criterion describes
     # steady-state job throughput, so time the second pass.
+    # round 4: triangle timing uses the count-only CSR kernel with the
+    # in-kernel exact close (triangle_count default) — wedges never
+    # cross the Python/JVM boundary or any exchange, which removes the
+    # r3 scaling whale (the fused self-join + Arrow bloom-probe stage
+    # over the O(sum deg_out^2) wedge stream).
     skip_tri = os.environ.get("SCALING_SKIP_TRI", "0") == "1"
     if not skip_tri:
-        triangles(edges, strategy="join").count()
+        triangle_count(edges)
     pagerank(edges, max_iter=2, tol=0.0)
 
     if skip_tri:
@@ -247,7 +252,7 @@ def run_level(mode: str, edges_path: str) -> None:
         n_tri, t_tri = None, None
     else:
         t0 = time.time()
-        n_tri = triangles(edges, strategy="join").count()
+        n_tri = triangle_count(edges)
         t_tri = time.time() - t0
 
     pr = pagerank(edges, max_iter=PR_ITERS, tol=0.0)

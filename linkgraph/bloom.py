@@ -203,6 +203,17 @@ def build_long_bloom(
     the requested sizing for the build and restore afterwards; the
     result is the textbook -n*ln(p)/ln(2)^2 bit count with optimal k
     (verified fpp 0.0099 at 37M real insertions).
+
+    NOT THREAD-SAFE with respect to the owning SparkSession: the two
+    runtime bloom-filter confs are session-global for the duration of
+    the build, so a query running concurrently on the SAME session
+    (another thread) executes under the inflated runtime-row-filter
+    limits, and two concurrent builds can restore each other's values
+    out of order. Callers that build blooms from multiple threads must
+    serialize calls per session (isolating on ``spark.newSession()``
+    does not help here — execution uses the conf of the session the
+    input ``df`` belongs to). All linkgraph call sites run the build
+    single-threaded on the driver.
     """
     import math
 

@@ -109,6 +109,82 @@ def _bloom_mask(bc_value, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return sk.might_contain_longs(B.xxhash64_longs([b, c]))
 
 
+# Max oriented-edge rows for the IN-KERNEL exact close (the round-4
+# change that removes the wedge exchange + close join entirely for the
+# csr strategy): the edge set ships as a hash-sorted int64[3][n] .npy
+# via SparkContext.addFile and is np.load(mmap_mode="r")'d by workers —
+# ONE OS-page-cache copy per node shared by every Python worker process
+# on that node (a Python sc.broadcast would be deserialized into
+# PRIVATE memory by each of the node's workers: 32 workers x 0.9 GB at
+# 37M edges = untenable; the mmap is ~24 B/edge once per node). The
+# bound is the driver-side build (one toPandas + argsort): 200M edges
+# ~ 4.8 GB driver + file. Past it the csr strategy falls back to the
+# bloom-prefiltered wedge stream + exact residual close join.
+_KERNEL_CLOSE_EDGE_LIMIT = 200_000_000
+
+# Worker-process cache: file name -> (H uint64 sorted, LO, HI) views.
+_EDGE_SET_CACHE: dict[str, tuple] = {}
+
+
+def _edge_set_file(oriented: DataFrame) -> str:
+    """Materialize the oriented edge set for the in-kernel exact close.
+
+    Layout: int64[3][n] — row 0 the Catalyst xxhash64(lo, hi) keys in
+    uint64-ascending order, rows 1/2 the aligned (lo, hi) endpoints for
+    exact verification of hash collisions. The hash is computed
+    JVM-side; the kernel probes with the bit-identical NumPy
+    replication (bloom.xxhash64_longs, verified in tests/test_bloom.py).
+    """
+    import os
+    import tempfile
+    import uuid
+
+    pdf = oriented.select(F.xxhash64("lo", "hi").alias("h"), "lo", "hi").toPandas()
+    h = pdf["h"].to_numpy(np.int64).view(np.uint64)
+    order = np.argsort(h, kind="stable")
+    arr = np.empty((3, len(pdf)), dtype=np.int64)
+    arr[0] = h[order].view(np.int64)
+    arr[1] = pdf["lo"].to_numpy(np.int64)[order]
+    arr[2] = pdf["hi"].to_numpy(np.int64)[order]
+    name = f"linkgraph_edgeset_{uuid.uuid4().hex}.npy"
+    path = os.path.join(tempfile.gettempdir(), name)
+    np.save(path, arr)
+    oriented.sparkSession.sparkContext.addFile(path)
+    return name
+
+
+def _load_edge_set(name: str) -> tuple:
+    tup = _EDGE_SET_CACHE.get(name)
+    if tup is None:
+        from pyspark import SparkFiles
+
+        arr = np.load(SparkFiles.get(name), mmap_mode="r")
+        tup = (arr[0].view(np.uint64), arr[1], arr[2])
+        _EDGE_SET_CACHE[name] = tup
+    return tup
+
+
+def _exact_close_mask(edge_set: tuple, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Exact membership of (b, c) in the oriented edge set.
+
+    One vectorized binary search over the hash-sorted key array; the
+    aligned endpoint rows verify the (vanishingly rare) hash-window
+    cases, so the result is EXACT — no false positives to join away.
+    """
+    H, LO, HI = edge_set
+    h = B.xxhash64_longs([b, c])
+    left = np.searchsorted(H, h, side="left")
+    right = np.searchsorted(H, h, side="right")
+    found = np.zeros(b.size, dtype=bool)
+    one = (right - left) == 1
+    p = left[one]
+    found[one] = (LO[p] == b[one]) & (HI[p] == c[one])
+    for i in np.flatnonzero((right - left) > 1):
+        sl = slice(left[i], right[i])
+        found[i] = bool(np.any((LO[sl] == b[i]) & (HI[sl] == c[i])))
+    return found
+
+
 def _bloom_probe(bloom_bc):
     """mapInArrow stage: drop wedge rows whose (b, c) cannot close.
 
@@ -276,12 +352,18 @@ def _cumsum0(x: np.ndarray) -> np.ndarray:
     return np.r_[0, np.cumsum(x)[:-1]] if x.size else x
 
 
-def _run_pairs(lo: np.ndarray, hi: np.ndarray) -> pd.DataFrame:
+def _run_pairs(
+    lo: np.ndarray, hi: np.ndarray, need_a: bool = True
+) -> tuple[np.ndarray | None, np.ndarray, np.ndarray]:
     """All intra-run (i < j) pairs over CSR runs, fully vectorized.
 
     `lo` must be run-contiguous and `hi` sorted in degree order within
     each run. Two-level repeat construction: runs -> i-blocks -> pairs.
+    Returns (a, b, c) int64 arrays; ``need_a=False`` skips gathering
+    the anchor column (counting only needs the closing pair — one
+    fewer 8 B/wedge array through DRAM on the hot path).
     """
+    empty = np.empty(0, dtype=np.int64)
     change = np.flatnonzero(np.r_[True, lo[1:] != lo[:-1]])
     indptr = np.r_[change, lo.size]
     counts = np.diff(indptr)  # run sizes c_r
@@ -289,7 +371,7 @@ def _run_pairs(lo: np.ndarray, hi: np.ndarray) -> pd.DataFrame:
     L = counts - 1  # i ranges over 0..L-1 per run
     keep = L > 0
     if not keep.any():
-        return pd.DataFrame({"a": [], "b": [], "c": []}).astype("int64")
+        return (empty if need_a else None), empty, empty
     L, starts = L[keep], starts[keep]
     n_runs = L.size
     # i-blocks: for run r, blocks i = 0..L_r-1 of length L_r - i.
@@ -302,10 +384,16 @@ def _run_pairs(lo: np.ndarray, hi: np.ndarray) -> pd.DataFrame:
     within = np.arange(i.size) - np.repeat(_cumsum0(block_len), block_len)
     j = i + 1 + within
     base = starts[run_of_pair]
-    return pd.DataFrame({"a": lo[base], "b": hi[base + i], "c": hi[base + j]})
+    a = lo[base] if need_a else None
+    return a, hi[base + i], hi[base + j]
 
 
-def _csr_batch_iter(batches, bloom_value=None) -> Iterator:
+def _csr_batch_iter(
+    batches,
+    bloom_value=None,
+    edge_set_name: str | None = None,
+    count_only: bool = False,
+) -> Iterator:
     """mapInArrow kernel: wedge generation over CSR-packed partitions.
 
     The input partition is hash-distributed by anchor vertex and sorted
@@ -318,21 +406,50 @@ def _csr_batch_iter(batches, bloom_value=None) -> Iterator:
     is two zero-copy int64 views and each output is one RecordBatch
     built straight from the NumPy pair arrays — the per-batch Python
     cost is the NumPy kernel alone.
+
+    Three output modes:
+    - plain (both extras None): the wedge stream (a, b, c) for the
+      downstream close join;
+    - bloom only: wedges surviving the fused close-key Bloom
+      pre-filter (non-closing wedges die before the Arrow hand-back);
+    - ``edge_set_name`` set (IN-KERNEL EXACT CLOSE): wedges are probed
+      against the mmap'd oriented edge set (behind the Bloom when one
+      is given) and the kernel emits finished id-canonical TRIANGLES —
+      or, with ``count_only``, one partial-count row per input
+      partition. No wedge ever leaves the kernel: the downstream
+      exchange + close join (round 3's N->4N bandwidth whale at
+      0.39-0.49 efficiency) ceases to exist.
     """
     import pyarrow as pa
+
+    edge_set = _load_edge_set(edge_set_name) if edge_set_name else None
 
     def np_col(batch: "pa.RecordBatch", name: str) -> np.ndarray:
         return batch.column(name).to_numpy(zero_copy_only=False)
 
-    def out(df: pd.DataFrame) -> "pa.RecordBatch":
-        a = df["a"].to_numpy(np.int64)
-        b = df["b"].to_numpy(np.int64)
-        c = df["c"].to_numpy(np.int64)
-        if bloom_value is not None and a.size:
-            # Fused close-key pre-filter: non-closing wedges die here,
-            # inside the kernel, before even the Arrow hand-back.
+    total = 0
+
+    def out(lo: np.ndarray, hi: np.ndarray):
+        nonlocal total
+        a, b, c = _run_pairs(lo, hi, need_a=not count_only)
+        if b.size and bloom_value is not None:
             mask = _bloom_mask(bloom_value, b, c)
-            a, b, c = a[mask], b[mask], c[mask]
+            b, c = b[mask], c[mask]
+            if not count_only:
+                a = a[mask]
+        if edge_set is not None and b.size:
+            mask = _exact_close_mask(edge_set, b, c)
+            b, c = b[mask], c[mask]
+            if not count_only:
+                a = a[mask]
+        if count_only:
+            total += int(b.size)
+            return None
+        if edge_set is not None:
+            # Finished triangles: canonicalize to a < b < c (the anchor
+            # is the lowest-DEGREE vertex, not the lowest id).
+            tri = np.sort(np.stack([a, b, c]), axis=0)
+            a, b, c = tri[0], tri[1], tri[2]
         return pa.RecordBatch.from_arrays(
             [
                 pa.array(a, type=pa.int64()),
@@ -355,38 +472,64 @@ def _csr_batch_iter(batches, bloom_value=None) -> Iterator:
         cut = int(np.searchsorted(lo, lo[-1], side="left"))
         carry_lo, carry_hi = lo[cut:], hi[cut:]
         if cut:
-            yield out(_run_pairs(lo[:cut], hi[:cut]))
+            rb = out(lo[:cut], hi[:cut])
+            if rb is not None:
+                yield rb
     if carry_lo is not None and carry_lo.size:
-        yield out(_run_pairs(carry_lo, carry_hi))
+        rb = out(carry_lo, carry_hi)
+        if rb is not None:
+            yield rb
+    if count_only:
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([total], type=pa.int64())], names=["n"]
+        )
 
 
-def _wedges_csr(oriented: DataFrame, bloom_bc=None) -> DataFrame:
+def _wedges_csr(
+    oriented: DataFrame,
+    bloom_bc=None,
+    edge_set_name: str | None = None,
+    count_only: bool = False,
+) -> DataFrame:
     csr = (
         oriented.select("lo", "hi", "hi_deg")
         # explicit count: see _wedges_sql on AQE byte-based coalescing
         .repartition(_explode_parts(oriented), "lo")
         .sortWithinPartitions("lo", "hi_deg", "hi")
     )
-    if bloom_bc is None:
-        return csr.mapInArrow(_csr_batch_iter, schema=_WEDGE_SCHEMA)
-
     def kernel(batches):
-        return _csr_batch_iter(batches, bloom_value=bloom_bc.value)
+        # bloom_bc.value dereferenced EXECUTOR-side: shipping the
+        # broadcast handle keeps the bit array out of the task closure.
+        return _csr_batch_iter(
+            batches,
+            bloom_value=None if bloom_bc is None else bloom_bc.value,
+            edge_set_name=edge_set_name,
+            count_only=count_only,
+        )
 
-    return csr.mapInArrow(kernel, schema=_WEDGE_SCHEMA)
+    schema = "n long" if count_only else _WEDGE_SCHEMA
+    return csr.mapInArrow(kernel, schema=schema)
 
 
 _WEDGE_KERNELS = {"sql": _wedges_sql, "join": _wedges_join, "csr": _wedges_csr}
 
 
 def triangles(
-    edges: DataFrame, strategy: str = "join", bloom_fpp: float | None = _BLOOM_FPP
+    edges: DataFrame,
+    strategy: str = "join",
+    bloom_fpp: float | None = _BLOOM_FPP,
+    kernel_close: bool | None = None,
 ) -> DataFrame:
     """Enumerate all triangles of the canonical undirected edge table.
 
     Returns (a, b, c) with a < b < c, one row per triangle, exactly.
 
-    Past _BROADCAST_EDGE_LIMIT edges a Bloom filter of the closing keys
+    For "csr" the close is IN-KERNEL by default (``kernel_close``,
+    auto below _KERNEL_CLOSE_EDGE_LIMIT): wedges probe the mmap'd exact
+    edge set inside the NumPy kernel and finished triangles come out —
+    no wedge exchange, no close join. For "join"/"sql" (and "csr" past
+    the limit or with ``kernel_close=False``), past
+    _BROADCAST_EDGE_LIMIT edges a Bloom filter of the closing keys
     pre-filters the wedge stream before its exchange (see _BLOOM_FPP);
     fused into the NumPy kernel for "csr", a pipelined Arrow stage for
     "join"/"sql". ``bloom_fpp=None`` disables it (A/B harness).
@@ -401,6 +544,12 @@ def triangles(
     if bloom_fpp is not None and n_edges > _BROADCAST_EDGE_LIMIT:
         bloom_bc = _close_bloom_broadcast(oriented, n_edges, bloom_fpp)
     if strategy == "csr":
+        if kernel_close is None:
+            kernel_close = n_edges <= _KERNEL_CLOSE_EDGE_LIMIT
+        if kernel_close:
+            return _wedges_csr(
+                oriented, bloom_bc, edge_set_name=_edge_set_file(oriented)
+            )
         wedges = _wedges_csr(oriented, bloom_bc)
     else:
         if strategy == "join":
@@ -412,8 +561,31 @@ def triangles(
     return _close_wedges(wedges, oriented, n_edges)
 
 
-def triangle_count(edges: DataFrame, strategy: str = "join") -> int:
-    return triangles(edges, strategy).count()
+def triangle_count(edges: DataFrame, strategy: str = "kernel") -> int:
+    """Exact triangle count.
+
+    Default "kernel" (round 4): the csr wedge kernel probes the mmap'd
+    exact edge set (behind the Bloom pre-filter past
+    _BROADCAST_EDGE_LIMIT) and emits ONE partial-count row per
+    partition — no wedge row is ever materialized outside a NumPy
+    register file, no exchange, no close join, and the only shuffle is
+    the P-row count aggregate. Falls back to the "join" enumeration
+    count past _KERNEL_CLOSE_EDGE_LIMIT or for explicit strategies.
+    """
+    if strategy != "kernel":
+        return triangles(edges, strategy).count()
+    oriented = _oriented(edges).localCheckpoint(eager=True)
+    n_edges = oriented.count()
+    if n_edges > _KERNEL_CLOSE_EDGE_LIMIT:
+        return triangles(edges, "join").count()
+    bloom_bc = None
+    if n_edges > _BROADCAST_EDGE_LIMIT:
+        bloom_bc = _close_bloom_broadcast(oriented, n_edges, _BLOOM_FPP)
+    partials = _wedges_csr(
+        oriented, bloom_bc, edge_set_name=_edge_set_file(oriented), count_only=True
+    )
+    row = partials.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n")).collect()[0]
+    return int(row["n"])
 
 
 def vertex_triangle_count(tri: DataFrame) -> DataFrame:

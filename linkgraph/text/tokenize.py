@@ -13,16 +13,29 @@ remaining suffix; a position where no entry matches falls back to the
 single character (so every word always tokenizes and nothing is
 dropped — the `[UNK]`-free variant, deterministic and total).
 
-Scale design (same bounded-vocab shape as bpe.py / vocab.py):
-- the corpus pays ONE split+explode+distinct to the word table, which
-  is bounded by vocabulary size, not corpus size;
-- the greedy matcher is an Arrow-batched kernel over that bounded
+Scale design (same bounded-table shape as bpe.py / vocab.py):
+- the corpus pays ONE split+explode+distinct to the DISTINCT-WORD
+  table.  That table is much smaller than the corpus but it is NOT
+  bounded by vocabulary size: distinct words grow with corpus size
+  (Heaps' law — URLs, numbers, typos), so at web scale it can reach
+  1e8+ rows;
+- the greedy matcher is an Arrow-batched kernel over that distinct-
   word table only — Python never touches the corpus;
-- the (word -> tokens) map joins back to the exploded corpus with a
-  broadcast hint (the word table is vocab-bounded), positions ride a
-  posexplode so document order is reconstructible;
-- per-document token arrays are reassembled with a sorted
+- the (word -> tokens) map joins back to the exploded corpus.  The
+  join is broadcast only below ``_BROADCAST_WORDS_LIMIT`` (same gate
+  shape as ingest/derive.py's module-index join): callers that know
+  their distinct-word count pass ``n_words`` and a 1e8-word web
+  corpus falls back to a plain shuffle join instead of OOMing the
+  driver with an unconditional broadcast;
+- positions ride a posexplode so document order is reconstructible;
+  per-document token arrays are reassembled with a sorted
   collect_list aggregate keyed by the document.
+
+Whitespace: word boundaries use the explicit class
+``[ \\t\\n\\r\\f\\x0B]+`` rather than ``\\s`` because Java regex
+``\\s`` includes vertical tab (\\x0B) while RE2/DuckDB's does not —
+the explicit class keeps the Spark kernel and the DuckDB oracle
+byte-identical on adversarial input.
 """
 
 from __future__ import annotations
@@ -32,6 +45,14 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Above this many distinct words the (word -> tokens) map is joined
+# with a shuffle join instead of a driver broadcast.  Same rationale
+# and order of magnitude as ingest.derive._BROADCAST_INDEX_LIMIT.
+_BROADCAST_WORDS_LIMIT = 1_000_000
+
+# Explicit whitespace class, identical semantics in Java regex and RE2.
+_WS_CLASS = "[ \\t\\n\\r\\f\\x0B]+"
 
 
 def greedy_tokenize_word(word: str, vocab: set[str]) -> list[str]:
@@ -78,21 +99,30 @@ def encode_corpus(
     vocab: list[str],
     col: str = "text",
     id_col: str = "doc_id",
+    n_words: int | None = None,
+    broadcast_words: bool | None = None,
 ) -> DataFrame:
     """(id, tokens array<string>, n_tokens) — the corpus greedily
     encoded against ``vocab``, word boundaries at whitespace, words
     lowercased (the `word_frequencies` convention).
 
     One corpus pass; Python work bounded by the distinct-word table.
+    ``broadcast_words``: True forces the broadcast join of the
+    (word -> tokens) map, False forces a shuffle join (the web-corpus
+    shape), None gates on ``n_words`` (estimated distinct-word count)
+    vs ``_BROADCAST_WORDS_LIMIT``, defaulting to broadcast when no
+    estimate is given (right for any word table driver memory holds).
     """
-    words_col = F.split(F.trim(F.lower(F.col(col))), r"\s+")
+    words_col = F.split(F.trim(F.lower(F.col(col))), _WS_CLASS)
     exploded = (
         df.where(F.length(F.trim(F.col(col))) > 0)
         .select(F.col(id_col).alias("id"), F.posexplode(words_col).alias("pos", "word"))
         .where(F.length("word") > 0)
     )
     wt = word_tokens(exploded.select("word").distinct(), vocab)
-    joined = exploded.join(F.broadcast(wt), "word")
+    if broadcast_words is None:
+        broadcast_words = n_words is None or n_words <= _BROADCAST_WORDS_LIMIT
+    joined = exploded.join(F.broadcast(wt) if broadcast_words else wt, "word")
     return (
         joined.groupBy("id")
         .agg(

@@ -21,7 +21,10 @@ CONTRACT_SET = {
     "copurchase_edges",
     "degrees",
     "degree_histogram",
-    "triangles",
+    # round 4: "triangles" (join variant) swapped out for
+    # "wordpiece_tokens" — G5 semantics stay pinned by triangles_sql /
+    # triangles_csr / triangle_count; wordpiece needed window evidence.
+    "wordpiece_tokens",
     "triangles_csr",
     "triangle_count",
     "edge_support",

@@ -132,6 +132,90 @@ def test_sql_kernel_salt_blocks(spark, block):
     assert len(rows) == len(set(rows)) == math.comb(8, 3)
 
 
+# ------------------------------------------- in-kernel exact close (round 4)
+
+
+def test_kernel_count_golden(truss_mini, small_twitter):
+    # default strategy="kernel": count-only CSR kernel, no close join
+    assert triangle_count(truss_mini) == 22
+    assert triangle_count(small_twitter) == 5
+
+
+def test_kernel_count_vs_bruteforce(spark):
+    edges = canonicalize(gnp_graph(spark, n=120, p=0.08, seed=42))
+    pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+    assert triangle_count(edges) == len(brute_triangles(pairs))
+
+
+def test_kernel_count_with_bloom_prefilter(spark, monkeypatch):
+    """Forcing the Bloom limit to 0 exercises bloom-then-exact inside
+    the kernel; the count must stay exact (bloom only pre-drops)."""
+    import linkgraph.graph.triangles as T
+
+    edges = canonicalize(gnp_graph(spark, n=100, p=0.1, seed=3))
+    want = triangle_count(edges)
+    monkeypatch.setattr(T, "_BROADCAST_EDGE_LIMIT", 0)
+    assert T.triangle_count(edges) == want
+
+
+def test_kernel_count_fallback_past_limit(truss_mini, monkeypatch):
+    """Past _KERNEL_CLOSE_EDGE_LIMIT the kernel count must fall back to
+    the join-enumeration count and stay exact."""
+    import linkgraph.graph.triangles as T
+
+    monkeypatch.setattr(T, "_KERNEL_CLOSE_EDGE_LIMIT", 0)
+    assert T.triangle_count(truss_mini) == 22
+
+
+def test_csr_enumeration_kernel_close_with_bloom(spark, monkeypatch):
+    """csr + kernel_close + forced bloom: finished triangles out of the
+    kernel equal the join-strategy enumeration."""
+    import linkgraph.graph.triangles as T
+
+    edges = canonicalize(gnp_graph(spark, n=100, p=0.1, seed=9))
+    want = {(r["a"], r["b"], r["c"]) for r in T.triangles(edges, "join").collect()}
+    monkeypatch.setattr(T, "_BROADCAST_EDGE_LIMIT", 0)
+    got_rows = T.triangles(edges, "csr", kernel_close=True).collect()
+    got = [(r["a"], r["b"], r["c"]) for r in got_rows]
+    assert set(got) == want
+    assert len(got) == len(want)  # no duplicates
+    assert all(a < b < c for a, b, c in got)
+
+
+def test_csr_kernel_close_off_matches(spark):
+    """kernel_close=False keeps the legacy wedge-stream + close join."""
+    edges = canonicalize(gnp_graph(spark, n=80, p=0.1, seed=11))
+    a = {(r["a"], r["b"], r["c"])
+         for r in triangles(edges, "csr", kernel_close=False).collect()}
+    b = {(r["a"], r["b"], r["c"])
+         for r in triangles(edges, "csr", kernel_close=True).collect()}
+    assert a == b
+
+
+def test_exact_close_mask_hash_windows():
+    """Collision-window handling: duplicate hash keys in the sorted
+    edge set must still verify endpoints exactly."""
+    import numpy as np
+
+    from linkgraph import bloom as B
+    from linkgraph.graph.triangles import _exact_close_mask
+
+    edges = [(1, 2), (3, 4), (5, 6)]
+    b = np.array([e[0] for e in edges], dtype=np.int64)
+    c = np.array([e[1] for e in edges], dtype=np.int64)
+    h = B.xxhash64_longs([b, c])
+    # duplicate every hash (simulated collision windows of width 2)
+    H = np.repeat(h, 2)
+    LO = np.repeat(b, 2)
+    HI = np.repeat(c, 2)
+    order = np.argsort(H, kind="stable")
+    es = (H[order], LO[order], HI[order])
+    probe_b = np.array([1, 3, 5, 1, 9], dtype=np.int64)
+    probe_c = np.array([2, 4, 6, 7, 9], dtype=np.int64)
+    got = _exact_close_mask(es, probe_b, probe_c)
+    assert got.tolist() == [True, True, True, False, False]
+
+
 # ------------------------------------------------------- incremental delta
 
 

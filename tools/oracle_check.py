@@ -15,6 +15,18 @@ import duckdb
 import pandas as pd
 
 
+def _raw_fingerprint(df: pd.DataFrame) -> tuple:
+    """Driver-style strict fingerprint: dtype kind per column plus a
+    row-order-insensitive value hash with NO dtype normalization — an
+    int64 column and a float64/object (e.g. DuckDB HUGEINT) column of
+    equal values fingerprint differently, exactly the class of miss
+    the round-3 `sequence_packing` driver row surfaced."""
+    df = df[sorted(df.columns)]
+    s = df.astype(str).apply(lambda r: "\x1f".join(r), axis=1) if len(df) else pd.Series([], dtype=str)
+    kinds = tuple(df[c].dtype.kind for c in df.columns)
+    return kinds, int(pd.util.hash_pandas_object(s.sort_values(), index=False).sum())
+
+
 def compare(name: str, spark_df, sql: str | None, con) -> str:
     t0 = time.time()
     sp = spark_df.toPandas()
@@ -30,6 +42,7 @@ def compare(name: str, spark_df, sql: str | None, con) -> str:
         return f"FAIL {name}: columns {list(sp.columns)} vs {list(du.columns)}"
     if len(sp) != len(du):
         return f"FAIL {name}: rows {len(sp)} vs {len(du)}"
+    raw_sp, raw_du = _raw_fingerprint(sp), _raw_fingerprint(du)
     # normalize dtypes then order-insensitive compare
     for c in sp.columns:
         if sp[c].dtype != du[c].dtype:
@@ -47,6 +60,12 @@ def compare(name: str, spark_df, sql: str | None, con) -> str:
             i = bad.idxmax()
             detail = f" first diff row {i}: spark={sps.loc[i].tolist()} duck={dus.loc[i].tolist()}"
         return f"FAIL {name}: values differ ({int(bad.sum())} rows){detail}"
+    if raw_sp != raw_du:
+        return (
+            f"FAIL {name}: values equal but raw fingerprints differ "
+            f"(dtype kinds spark={raw_sp[0]} duck={raw_du[0]}) — likely a "
+            f"missing CAST in the oracle (HUGEINT/float widening)"
+        )
     return f"OK   {name}: rows={len(sp)} (spark {t_spark:.1f}s, duck {t_duck:.1f}s)"
 
 
