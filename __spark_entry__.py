@@ -114,7 +114,7 @@ from linkgraph.text.tfidf import tfidf_top_terms
 from linkgraph.text.vocab import build_vocab, oov_stats
 from linkgraph.text.bpe import bpe_pair_counts, word_frequencies
 from linkgraph.text.decontam import ngram_contamination
-from linkgraph.text.packing import pack_chunks
+from linkgraph.text.packing import pack_chunks, pack_greedy_fixed, shard_packs
 from linkgraph.sampling import (
     budget_select,
     hash_sample,
@@ -651,6 +651,18 @@ def _q_sequence_packing(spark, sf):
     # value hash is sensitive to (round-3 hash-only mismatch).
     d = datasets.load(spark, sf, "documents").select("doc_id", "text")
     return pack_chunks(d, seq_len=512).orderBy("doc_id")
+
+
+def _q_training_shards(spark, sf):
+    # Sharded training-batch export: deterministic next-fit packing
+    # over fixed id-range parts (pure function of the data — the
+    # oracle replays the per-part recurrence with a recursive CTE),
+    # then the avalanche shard assignment every pack row rides.
+    d = datasets.load(spark, sf, "documents").select("doc_id", "text")
+    packed = pack_greedy_fixed(d, seq_len=512, n_parts=8)
+    return shard_packs(packed, n_shards=4, seed=0).select(
+        "doc_id", "n_tokens", "part", "pack_in_part", "begin_in_pack", "shard"
+    ).orderBy("doc_id")
 
 
 def _q_quality(spark, sf):
@@ -1905,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trending": _q_events_trending,
         "events_range_join": _q_events_range_join,
         "wordpiece_tokens": _q_wordpiece,
+        "training_shards": _q_training_shards,
     }
 
 
@@ -3797,6 +3810,54 @@ SELECT doc_id, n_tokens, begin_off,
             ELSE (begin_off + n_tokens - 1) // 512 - begin_off // 512 + 1
        END AS BIGINT) AS n_chunks_spanned
 FROM o
+ORDER BY doc_id
+""",
+        # Sharded training-batch export: fixed id-range parts (integer
+        # DIV of the id span), per-part next-fit replayed row-by-row
+        # with a recursive CTE (the running remainder is non-linear, so
+        # no window form exists), then the exact quadratic-scramble
+        # shard hash (seed 0 -> a = 654435747; every intermediate
+        # < P1^2 ~ 1e18, int64-safe in both engines).
+        "training_shards": r"""
+WITH RECURSIVE
+t AS (SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+      FROM documents),
+bounds AS (SELECT min(doc_id) AS lo,
+                  greatest(1, (max(doc_id) - min(doc_id) + 1 + 7) // 8)
+                    AS width
+           FROM t),
+p AS (SELECT doc_id, n_tokens,
+             CAST((doc_id - (SELECT lo FROM bounds))
+                  // (SELECT width FROM bounds) AS INT) AS part
+      FROM t),
+r AS (SELECT *, row_number() OVER (PARTITION BY part ORDER BY doc_id)
+               AS rn
+      FROM p),
+seq(part, rn, doc_id, n_tokens, pack_in_part, begin_in_pack, used) AS (
+  SELECT part, rn, doc_id, n_tokens, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(least(n_tokens, 512) AS BIGINT)
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.part, r.rn, r.doc_id, r.n_tokens,
+    CASE WHEN s.used + least(r.n_tokens, 512) > 512 AND s.used > 0
+         THEN s.pack_in_part + 1 ELSE s.pack_in_part END,
+    CASE WHEN s.used + least(r.n_tokens, 512) > 512 AND s.used > 0
+         THEN CAST(0 AS BIGINT) ELSE s.used END,
+    CASE WHEN s.used + least(r.n_tokens, 512) > 512 AND s.used > 0
+         THEN CAST(least(r.n_tokens, 512) AS BIGINT)
+         ELSE s.used + least(r.n_tokens, 512) END
+  FROM seq s JOIN r ON r.part = s.part AND r.rn = s.rn + 1),
+h AS (SELECT part, doc_id, n_tokens, pack_in_part, begin_in_pack,
+             ((CAST(part AS BIGINT) % 1000000007) * 1000003
+              + pack_in_part % 1000000007 + 654435747) % 1000000007 AS h0
+      FROM seq),
+hh AS (SELECT *, ((h0 * h0 + 654435747) % 1000000007) AS h1 FROM h),
+hf AS (SELECT *, ((h1 * h1 + 654435747) % 1000000007) AS h2 FROM hh)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, part,
+       pack_in_part, begin_in_pack, CAST(h2 % 4 AS INT) AS shard
+FROM hf
 ORDER BY doc_id
 """,
         "quality_features": quality,

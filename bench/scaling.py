@@ -309,7 +309,17 @@ def main() -> None:
 
     if not os.path.exists(os.path.join(EDGES_PATH, "_SUCCESS")):
         materialize_edges()
-    if not os.path.exists(PYFILES_ZIP):
+    # Rebuild the pyFiles zip whenever any linkgraph source is newer:
+    # executors resolve module functions from the ZIP (pickle by
+    # reference), so a stale zip silently runs old code — or crashes on
+    # functions that no longer line up (bit us in round 4).
+    src_mtime = max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _, files in os.walk(os.path.join(REPO, "linkgraph"))
+        for f in files
+        if f.endswith(".py")
+    )
+    if not os.path.exists(PYFILES_ZIP) or os.path.getmtime(PYFILES_ZIP) < src_mtime:
         subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "make_pyfiles.py")],
             check=True,

@@ -71,12 +71,17 @@ def _adjacent_pair_counts(seg: DataFrame) -> DataFrame:
     return pairs.groupBy("left", "right").agg(F.sum("freq").alias("count"))
 
 
-def _merge_pair(seg: DataFrame, pair: tuple[str, str]) -> DataFrame:
-    """Apply ONE merge to the segmented table. Words that cannot contain
-    the pair are filtered JVM-side and never reach Python; the Arrow
-    kernel touches only the (typically tiny) hit set."""
-    a, b = pair
-    may_hit = F.array_contains("syms", a) & F.array_contains("syms", b)
+def _merge_pairs(seg: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Apply a round's merges (in order) to the segmented table. Words
+    that cannot contain ANY of the pairs are filtered JVM-side and
+    never reach Python; the Arrow kernel touches only the (typically
+    tiny) hit set."""
+    hit_conds = [
+        F.array_contains("syms", a) & F.array_contains("syms", b) for a, b in pairs
+    ]
+    may_hit = hit_conds[0]
+    for cond in hit_conds[1:]:
+        may_hit = may_hit | cond
     hits, misses = seg.where(may_hit), seg.where(~may_hit)
     schema = "syms array<string>, freq long"
 
@@ -86,9 +91,7 @@ def _merge_pair(seg: DataFrame, pair: tuple[str, str]) -> DataFrame:
                 continue
             yield pd.DataFrame(
                 {
-                    "syms": [
-                        _apply_merges(list(s), [(a, b)]) for s in pdf["syms"]
-                    ],
+                    "syms": [_apply_merges(list(s), pairs) for s in pdf["syms"]],
                     "freq": pdf["freq"],
                 }
             )
@@ -96,6 +99,31 @@ def _merge_pair(seg: DataFrame, pair: tuple[str, str]) -> DataFrame:
     return hits.select("syms", "freq").mapInPandas(kernel, schema).unionByName(
         misses.select("syms", "freq")
     )
+
+
+def _merge_pair(seg: DataFrame, pair: tuple[str, str]) -> DataFrame:
+    return _merge_pairs(seg, [pair])
+
+
+def _select_non_interacting(rows, m: int) -> list[tuple[str, str]]:
+    """Greedy top-m batch selection over (count desc, lex) ordered pair
+    rows, keeping only pairs that share NO symbol with an earlier
+    selection — the standard frequency-threshold batching constraint:
+    merging (a, b) cannot change the occurrence count of any pair
+    disjoint from {a, b} (it only glues a next to b, never creates or
+    breaks adjacency between other symbols), so the batch's counts are
+    all simultaneously valid against the round's table."""
+    used: set[str] = set()
+    chosen: list[tuple[str, str]] = []
+    for r in rows:
+        a, b = r["left"], r["right"]
+        if a in used or b in used:
+            continue
+        chosen.append((a, b))
+        used.update((a, b))
+        if len(chosen) >= m:
+            break
+    return chosen
 
 
 def bpe_pair_counts(
@@ -144,43 +172,60 @@ def bpe_pair_counts(
 
 
 def train_bpe(
-    df: DataFrame, col: str = "text", n_merges: int = 10
+    df: DataFrame, col: str = "text", n_merges: int = 10, batch: int = 1
 ) -> list[tuple[str, str]]:
-    """The BPE merge list: ``n_merges`` rounds of most-frequent-pair
-    selection (ties to the lexicographically smallest pair — fully
-    deterministic). One bounded driver action per round; the corpus is
-    aggregated exactly once.
+    """The BPE merge list: rounds of most-frequent-pair selection (ties
+    to the lexicographically smallest pair — fully deterministic). One
+    bounded driver action per round; the corpus is aggregated exactly
+    once.
 
     The segmented word table is CARRIED between rounds and only the
-    newest merge is applied each round (one Arrow pass over the words
-    that can contain the pair), so total work is O(n_merges) bounded
-    kernel passes — not the O(n_merges^2) re-apply-from-scratch shape
-    flagged in the round-2 verdict; at a realistic 50k-merge vocab the
-    per-round wall stays flat. Each round's table is localCheckpointed
-    (eager, vocab-bounded) to cut the growing kernel lineage.
+    round's new merges are applied (one Arrow pass over the words that
+    can contain them), so total work is O(rounds) bounded kernel passes
+    — not the O(n_merges^2) re-apply-from-scratch shape flagged in the
+    round-2 verdict. Each round's table is localCheckpointed (eager,
+    vocab-bounded) to cut the growing kernel lineage.
+
+    ``batch`` > 1 enables frequency-threshold batching: per round, up
+    to ``batch`` top pairs sharing no symbol are merged together
+    (standard BPE-training speedup — disjoint pairs cannot change each
+    other's counts, see _select_non_interacting), cutting the serial
+    driver-round count ~batch-fold. batch=1 is EXACTLY the classical
+    greedy trainer (the round-3 exact-replay pytest pins it); batch>1
+    may deviate from strict one-at-a-time greedy ORDER when a merge
+    mints a brand-new pair whose count overtakes a later selection —
+    the standard, documented trade of every batched BPE trainer. At a
+    32k-merge vocab the serial floor drops from 32k driver rounds to
+    32k/batch.
     """
     wf = word_frequencies(df, col).localCheckpoint(eager=True)
     seg = wf.select(F.split(F.col("word"), "").alias("syms"), "freq").localCheckpoint(
         eager=True
     )
+    n_merges, batch = int(n_merges), max(1, int(batch))
     merges: list[tuple[str, str]] = []
-    for _ in range(int(n_merges)):
+    while len(merges) < n_merges:
+        want = min(batch, n_merges - len(merges))
+        # Over-fetch 8x: the non-interacting filter skips candidates
+        # sharing symbols, and the selection must never read past the
+        # collected prefix out of order (rows arrive (count desc, lex)).
         top = (
             _adjacent_pair_counts(seg)
+            .where(F.col("count").isNotNull())
             .orderBy(F.desc("count"), F.asc("left"), F.asc("right"))
-            .limit(1)
+            .limit(max(want * 8, 8))
             .collect()
         )
-        if not top or top[0]["count"] is None:
+        chosen = _select_non_interacting(top, want)
+        if not chosen:
             break
-        pair = (top[0]["left"], top[0]["right"])
-        merges.append(pair)
-        # _merge_pair's hit/miss union doubles the partition count, and
+        merges.extend(chosen)
+        # _merge_pairs' hit/miss union doubles the partition count, and
         # localCheckpoint preserves it — unbounded, that is 2^round
         # tasks by round 20. Coalesce back to the word table's layout
         # before materializing.
         seg = (
-            _merge_pair(seg, pair)
+            _merge_pairs(seg, chosen)
             .coalesce(max(1, wf.rdd.getNumPartitions()))
             .localCheckpoint(eager=True)
         )

@@ -18,6 +18,14 @@ Two packing disciplines over a tokenized corpus:
   at most one partially-filled pack per partition seam — negligible at
   100 TB where a partition holds millions of documents.
 
+Downstream of packing, **sharded training-batch export**
+(``pack_greedy_fixed`` -> ``shard_packs`` -> ``write_shards``): packs
+get a deterministic avalanche-hash shard, and each shard is written as
+one sorted parquet directory with a (shard -> pack/doc/token count)
+manifest — the layout a training loader streams. The ``_fixed``
+packer derives parts from fixed id ranges so the whole export is a
+pure function of the data (oracle-replayable), not of the cluster.
+
 The global prefix sum is the interesting distributed piece. A naive
 ``Window.orderBy(id)`` with no partition key collapses the corpus into
 ONE task; instead ``with_global_offset`` runs the classic two-phase
@@ -210,6 +218,153 @@ def pack_greedy(
         schema=f"`{order_col}` long, n_tokens long, part int, "
         "pack_in_part long, begin_in_pack long",
     )
+
+
+def _greedy_kernel_by_part(seq_len: int):
+    """Next-fit state keyed on the `part` COLUMN (reset at each part
+    boundary) rather than the physical partition id — parts never split
+    across Spark partitions (hash exchange on part) and arrive sorted,
+    so the result is a pure function of the data, independent of the
+    physical partition count."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_part, pack_idx, used = None, 0, 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            packs, begins = [], []
+            for part, n in zip(
+                pdf["part"].to_numpy(), pdf["n_tokens"].to_numpy()
+            ):
+                if part != cur_part:
+                    cur_part, pack_idx, used = part, 0, 0
+                n = min(int(n), seq_len)  # oversize docs truncate
+                if used + n > seq_len and used > 0:
+                    pack_idx, used = pack_idx + 1, 0
+                packs.append(pack_idx)
+                begins.append(used)
+                used += n
+            out = pdf.copy()
+            out["pack_in_part"] = packs
+            out["begin_in_pack"] = begins
+            yield out
+
+    return gen
+
+
+def pack_greedy_fixed(
+    docs: DataFrame,
+    seq_len: int,
+    n_parts: int,
+    order_col: str = "doc_id",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic ``pack_greedy``: parts are FIXED order-key ranges
+    (width = ceil(id span / n_parts)) instead of a sampled range
+    exchange, so pack identity (part, pack_in_part) is a pure function
+    of the data — stable across runs, parallelism levels, and engines.
+    This is the variant the shard-export oracle replays; the trade is
+    that sparse/skewed id domains give uneven parts (the sampled
+    ``pack_greedy`` balances rows instead).
+
+    Columns: (order_col, n_tokens, part, pack_in_part, begin_in_pack).
+    """
+    if tokens_col is None:
+        docs = token_stats(docs, col=text_col).withColumnRenamed(
+            "n_tokens_ws", "n_tokens"
+        )
+        tokens_col = "n_tokens"
+    d = docs.select(order_col, F.col(tokens_col).cast("long").alias("n_tokens"))
+    lo, hi = d.agg(
+        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+    ).collect()[0]
+    if lo is None:
+        width = 1
+    else:
+        width = max(1, (int(hi) - int(lo) + 1 + int(n_parts) - 1) // int(n_parts))
+    # integer DIV, not double division: exact at any id magnitude and
+    # bit-identical to the oracle's `//`
+    d = d.withColumn(
+        "part",
+        F.expr(f"CAST((`{order_col}` - {int(lo or 0)}) DIV {width} AS INT)"),
+    )
+    placed = (
+        d.repartition(int(n_parts), "part")
+        .sortWithinPartitions("part", order_col)
+        .mapInPandas(
+            _greedy_kernel_by_part(seq_len),
+            schema=f"`{order_col}` long, n_tokens long, part int, "
+            "pack_in_part long, begin_in_pack long",
+        )
+    )
+    return placed
+
+
+# Shard hash constants: the quadratic-scramble family shared with the
+# DOULION coin / portable sampling buckets — exact int64 arithmetic
+# (every intermediate < P1^2 ~ 1.0e18 < 2^63), so a SQL oracle
+# reproduces the assignment bit-for-bit.
+_SHARD_MULT = 1_000_003
+
+
+def shard_packs(packed: DataFrame, n_shards: int, seed: int = 0) -> DataFrame:
+    """Deterministic shard assignment for training-batch export.
+
+    shard = avalanche(part, pack_in_part) % n_shards, where avalanche
+    is two square-and-add rounds mod P1 over the combined pack key —
+    packs (and every doc row inside a pack, which must land whole) are
+    spread near-uniformly and REPRODUCIBLY across shards.
+    """
+    from linkgraph.dedup.phash import P1
+
+    a = (2_654_435_761 * (int(seed) + 1)) % P1 or 1
+    h0 = F.pmod(
+        F.pmod(F.col("part").cast("long"), F.lit(P1)) * _SHARD_MULT
+        + F.pmod(F.col("pack_in_part"), F.lit(P1))
+        + F.lit(a),
+        F.lit(P1),
+    )
+    h1 = F.pmod(h0 * h0 + F.lit(a), F.lit(P1))
+    h2 = F.pmod(h1 * h1 + F.lit(a), F.lit(P1))
+    return packed.withColumn(
+        "shard", F.pmod(h2, F.lit(int(n_shards))).cast("int")
+    )
+
+
+def shard_manifest(sharded: DataFrame, seq_len: int) -> DataFrame:
+    """(shard, n_packs, n_docs, n_tokens) — the export manifest."""
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count_distinct(F.col("part"), F.col("pack_in_part")).alias("n_packs"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.least(F.col("n_tokens"), F.lit(seq_len))).alias("n_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+def write_shards(sharded: DataFrame, path: str, seq_len: int) -> DataFrame:
+    """Per-shard sorted parquet + manifest.
+
+    One hash exchange on shard, rows sorted (part, pack_in_part,
+    begin_in_pack) within each shard file so a training loader streams
+    packs contiguously; `partitionBy` gives one directory per shard
+    (the layout a 1000-file export at 100 TB needs — shard count
+    decouples from cluster parallelism). Returns the manifest (also
+    written under <path>/manifest).
+    """
+    (
+        sharded.repartition("shard")
+        .sortWithinPartitions("shard", "part", "pack_in_part", "begin_in_pack")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(f"{path}/packs")
+    )
+    manifest = shard_manifest(sharded, seq_len)
+    manifest.write.mode("overwrite").parquet(f"{path}/manifest")
+    return manifest
 
 
 def packing_stats(packed: DataFrame, seq_len: int) -> DataFrame:

@@ -96,3 +96,45 @@ def test_encode_words(spark):
     }
     for w in py_word_freqs():
         assert got[w] == py_apply(list(w), merges), w
+
+
+def py_train_batched(n, batch):
+    """Pure-Python replica of the batched trainer's semantics."""
+    merges = []
+    while len(merges) < n:
+        want = min(batch, n - len(merges))
+        pairs = py_pairs(merges)
+        if not pairs:
+            break
+        ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        used, chosen = set(), []
+        for (a, b), _ in ranked[: max(want * 8, 8)]:
+            if a in used or b in used:
+                continue
+            chosen.append((a, b))
+            used.update((a, b))
+            if len(chosen) >= want:
+                break
+        if not chosen:
+            break
+        merges.extend(chosen)
+    return merges
+
+
+def test_train_batched_matches_python_replay(spark):
+    for batch in (2, 3):
+        got = train_bpe(_docs(spark), n_merges=6, batch=batch)
+        assert got == py_train_batched(6, batch), batch
+
+
+def test_train_batch1_is_exact_greedy(spark):
+    # batch=1 must remain EXACTLY the classical greedy trainer
+    assert train_bpe(_docs(spark), n_merges=6, batch=1) == py_train(6)
+
+
+def test_batched_merges_are_disjoint_per_round(spark):
+    merges = train_bpe(_docs(spark), n_merges=6, batch=3)
+    # every round's selections share no symbol
+    for i in range(0, len(merges), 3):
+        syms = [s for p in merges[i : i + 3] for s in p]
+        assert len(syms) == len(set(syms)), merges[i : i + 3]

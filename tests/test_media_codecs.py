@@ -1,0 +1,74 @@
+"""Real-codec seam for multimodal decode (round-4 verdict item 7).
+
+The container ships no PIL/soundfile, so `_decode_payload` normally
+runs the deterministic stub. These tests exercise the REAL branch when
+a codec library IS importable (skip otherwise), so the "installing the
+library flips the real decode on with no other change" claim is
+tested, not asserted. The seam-consistency test runs everywhere.
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+import pytest
+
+from linkgraph.multimodal import media as M
+
+
+def _png_payload() -> tuple[bytes, np.ndarray]:
+    """A 2x2 grayscale PNG with known pixels, via PIL itself."""
+    from PIL import Image
+
+    px = np.array([[0, 64], [128, 255]], dtype=np.uint8)
+    img = Image.fromarray(px, mode="L")
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue(), px.astype(np.float64).ravel() / 255.0
+
+
+def _wav_payload() -> tuple[bytes, np.ndarray]:
+    """An 8-sample 16-bit WAV with known samples, via soundfile itself."""
+    import soundfile as sf
+
+    data = np.array([0.0, 0.25, -0.25, 0.5, -0.5, 0.75, -0.75, 0.0])
+    buf = io.BytesIO()
+    sf.write(buf, data, samplerate=8000, format="WAV", subtype="PCM_16")
+    return buf.getvalue(), data
+
+
+@pytest.mark.skipif(M._PIL_IMAGE is None, reason="Pillow not installed")
+def test_real_image_decode_exact_pixels():
+    payload, want = _png_payload()
+    got = M._decode_payload(payload, "image", strict=True)
+    assert np.allclose(got, want, atol=1e-12)
+    # the plumbing entry point uses the same branch
+    assert M._codec_available("image")
+
+
+@pytest.mark.skipif(M._SOUNDFILE is None, reason="soundfile not installed")
+def test_real_audio_decode_roundtrip():
+    payload, want = _wav_payload()
+    got = M._decode_payload(payload, "audio", strict=True)
+    # PCM_16 quantization: within one LSB of the written samples
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1.0 / 32767)
+    assert M._codec_available("audio")
+
+
+def test_decode_seam_consistency():
+    """Whatever environment: strict decode either uses a real codec or
+    refuses loudly — the stub can never silently serve strict=True."""
+    payload = b"not-a-real-file"
+    for kind in ("image", "audio", "video"):
+        if M._codec_available(kind):
+            # a real codec must reject garbage bytes under strict
+            with pytest.raises(Exception):
+                M._decode_payload(payload, kind, strict=True)
+        else:
+            with pytest.raises(NotImplementedError):
+                M._decode_payload(payload, kind, strict=True)
+        # non-strict always produces the deterministic contract shape
+        out = M._decode_payload(payload, kind, strict=False)
+        assert out.dtype == np.float64 and out.ndim == 1 and out.size

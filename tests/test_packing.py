@@ -136,3 +136,95 @@ def test_oversize_doc_occupies_one_pack(spark):
     )
     assert [r["pack_in_part"] for r in got] == [0, 1, 2]
     assert [r["begin_in_pack"] for r in got] == [0, 0, 0]
+
+
+# ------------------------------------------- sharded export (round 4)
+
+
+def _replay_fixed(lens, seq_len, n_parts, ids=None):
+    """Pure-Python replay of pack_greedy_fixed."""
+    ids = ids if ids is not None else list(range(len(lens)))
+    lo, hi = min(ids), max(ids)
+    width = max(1, (hi - lo + 1 + n_parts - 1) // n_parts)
+    out = {}
+    state = {}  # part -> (pack, used)
+    for did, n in sorted(zip(ids, lens)):
+        part = (did - lo) // width
+        pack, used = state.get(part, (0, 0))
+        n = min(n, seq_len)
+        if used + n > seq_len and used > 0:
+            pack, used = pack + 1, 0
+        out[did] = (part, pack, used)
+        state[part] = (pack, used + n)
+    return out
+
+
+def test_pack_greedy_fixed_replay_and_determinism(spark):
+    from linkgraph.text.packing import pack_greedy_fixed
+
+    rng = random.Random(11)
+    ids = rng.sample(range(3000), 200)
+    lens = [rng.randrange(0, 700) for _ in ids]
+    docs = spark.createDataFrame(
+        [(i, "w " * n) for i, n in zip(ids, lens)], "doc_id long, text string"
+    )
+    want = _replay_fixed(lens, 512, 8, ids)
+    got = {
+        r["doc_id"]: (r["part"], r["pack_in_part"], r["begin_in_pack"])
+        for r in pack_greedy_fixed(docs, seq_len=512, n_parts=8).collect()
+    }
+    assert got == want
+    # determinism across physical layouts: different n_parts exchange
+    # widths must not change the n_parts=8 logical assignment
+    got2 = {
+        r["doc_id"]: (r["part"], r["pack_in_part"], r["begin_in_pack"])
+        for r in pack_greedy_fixed(
+            docs.repartition(13), seq_len=512, n_parts=8
+        ).collect()
+    }
+    assert got2 == want
+
+
+def test_shard_packs_deterministic_and_pack_atomic(spark):
+    from linkgraph.text.packing import pack_greedy_fixed, shard_packs
+
+    docs = _docs(spark, [100, 200, 300, 400, 500, 50, 60, 70] * 5)
+    packed = pack_greedy_fixed(docs, seq_len=512, n_parts=4)
+    s1 = shard_packs(packed, n_shards=3, seed=0).collect()
+    s2 = shard_packs(packed, n_shards=3, seed=0).collect()
+    assert {tuple(r) for r in s1} == {tuple(r) for r in s2}
+    # a pack never splits across shards
+    by_pack = {}
+    for r in s1:
+        by_pack.setdefault((r["part"], r["pack_in_part"]), set()).add(r["shard"])
+    assert all(len(v) == 1 for v in by_pack.values())
+    # different seed reshuffles (at least one pack moves on this data)
+    s3 = shard_packs(packed, n_shards=3, seed=1).collect()
+    assert {tuple(r) for r in s1} != {tuple(r) for r in s3}
+
+
+def test_write_shards_roundtrip_and_manifest(spark, tmp_path):
+    from linkgraph.text.packing import (
+        pack_greedy_fixed,
+        shard_manifest,
+        shard_packs,
+        write_shards,
+    )
+
+    docs = _docs(spark, [100, 480, 16, 512, 700, 1, 0, 250, 250, 13])
+    sharded = shard_packs(pack_greedy_fixed(docs, 512, 4), n_shards=2)
+    manifest = write_shards(sharded, str(tmp_path / "export"), seq_len=512)
+    back = spark.read.parquet(str(tmp_path / "export" / "packs"))
+    assert back.count() == docs.count()
+    # manifest totals agree with the data
+    m = {r["shard"]: r for r in manifest.collect()}
+    again = {r["shard"]: r for r in shard_manifest(sharded, 512).collect()}
+    assert set(m) == set(again)
+    for s in m:
+        assert (m[s]["n_packs"], m[s]["n_docs"], m[s]["n_tokens"]) == (
+            again[s]["n_packs"], again[s]["n_docs"], again[s]["n_tokens"]
+        )
+    assert sum(r["n_docs"] for r in m.values()) == docs.count()
+    # within a shard directory, files stream packs contiguously
+    written = spark.read.parquet(str(tmp_path / "export" / "manifest"))
+    assert written.count() == len(m)
