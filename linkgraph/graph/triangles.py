@@ -150,7 +150,32 @@ def _edge_set_file(oriented: DataFrame) -> str:
     path = os.path.join(tempfile.gettempdir(), name)
     np.save(path, arr)
     oriented.sparkSession.sparkContext.addFile(path)
+    # The staging original must OUTLIVE the job in cluster mode: the
+    # driver's Netty file server streams addFile content from the
+    # REGISTERED path (only local mode takes a userFiles copy), so an
+    # eager unlink makes every executor fetch fail ("Stream /files/...
+    # not found" — bit us on local-cluster). Clean up at driver exit
+    # instead; at 1e8 edges each file is multi-GB.
+    _STAGED_FILES.append(path)
     return name
+
+
+_STAGED_FILES: list[str] = []
+
+
+def _cleanup_staged() -> None:  # pragma: no cover — exit hook
+    import os
+
+    for p in _STAGED_FILES:
+        try:
+            os.unlink(p)
+        except OSError:
+            pass
+
+
+import atexit as _atexit
+
+_atexit.register(_cleanup_staged)
 
 
 def _load_edge_set(name: str) -> tuple:

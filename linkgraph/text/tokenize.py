@@ -56,7 +56,12 @@ _WS_CLASS = "[ \\t\\n\\r\\f\\x0B]+"
 
 
 def greedy_tokenize_word(word: str, vocab: set[str]) -> list[str]:
-    """Greedy longest-prefix-match segmentation; single-char fallback."""
+    """Greedy longest-prefix-match segmentation; single-char fallback.
+
+    The executable SPEC (O(len^2) substring probes — fine for tests
+    and one-off calls); the corpus kernel runs the equivalent
+    trie-based matcher below, O(len * max_token_len) per word.
+    """
     out: list[str] = []
     i, n = 0, len(word)
     while i < n:
@@ -73,9 +78,46 @@ def greedy_tokenize_word(word: str, vocab: set[str]) -> list[str]:
     return out
 
 
+def build_trie(vocab: list[str]) -> dict:
+    """Prefix trie; terminal marker key "" holds the full token (a
+    one-char key can never be the empty string, so no collision)."""
+    root: dict = {}
+    for tok in vocab:
+        node = root
+        for ch in tok:
+            node = node.setdefault(ch, {})
+        node[""] = tok
+    return root
+
+
+def greedy_tokenize_trie(word: str, trie: dict) -> list[str]:
+    """Same segmentation as greedy_tokenize_word via one trie walk per
+    position: the deepest terminal on the walk IS the longest vocab
+    prefix. O(len * max_token_len) instead of O(len^2) — the round-3
+    verdict's condition for word tables past ~10M rows."""
+    out: list[str] = []
+    i, n = 0, len(word)
+    while i < n:
+        node, match = trie, None
+        j = i
+        while j < n:
+            node = node.get(word[j])
+            if node is None:
+                break
+            j += 1
+            tok = node.get("")
+            if tok is not None:
+                match = tok
+        if match is None:
+            match = word[i]
+        out.append(match)
+        i += len(match)
+    return out
+
+
 def word_tokens(words: DataFrame, vocab: list[str]) -> DataFrame:
     """(word, tokens array<string>) over a bounded word table."""
-    vset = set(vocab)
+    trie = build_trie(vocab)
     schema = "word string, tokens array<string>"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -86,7 +128,7 @@ def word_tokens(words: DataFrame, vocab: list[str]) -> DataFrame:
                 {
                     "word": pdf["word"],
                     "tokens": [
-                        greedy_tokenize_word(w, vset) for w in pdf["word"]
+                        greedy_tokenize_trie(w, trie) for w in pdf["word"]
                     ],
                 }
             )

@@ -67,3 +67,24 @@ def test_encode_corpus_order_is_document_order(spark):
     df = spark.createDataFrame([(1, text)], "doc_id long, text string").repartition(7)
     toks = encode_corpus(df, ["w"]).collect()[0]["tokens"]
     assert toks == [c for i in range(50) for c in ("w", *str(i))]
+
+
+def test_trie_matcher_equals_spec():
+    """greedy_tokenize_trie must segment identically to the O(len^2)
+    spec on adversarial and random words."""
+    import random
+
+    from linkgraph.text.tokenize import build_trie, greedy_tokenize_trie
+
+    vset = set(VOCAB)
+    trie = build_trie(VOCAB)
+    words = [
+        "lower", "lowerick", "zzz", "thequickloweric", "newest",
+        "", "l", "erer", "thethethe", "questwest",
+    ]
+    rng = random.Random(13)
+    alphabet = "thelowernwsquick z"
+    words += ["".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 30)))
+              for _ in range(300)]
+    for w in words:
+        assert greedy_tokenize_trie(w, trie) == greedy_tokenize_word(w, vset), w
