@@ -418,6 +418,7 @@ def _csr_batch_iter(
     bloom_value=None,
     edge_set_name: str | None = None,
     count_only: bool = False,
+    emit_pairs: bool = False,
 ) -> Iterator:
     """mapInArrow kernel: wedge generation over CSR-packed partitions.
 
@@ -444,10 +445,14 @@ def _csr_batch_iter(
       partition. No wedge ever leaves the kernel: the downstream
       exchange + close join (round 3's N->4N bandwidth whale at
       0.39-0.49 efficiency) ceases to exist.
+    - ``emit_pairs``: (b, c) only, anchor dropped — the counting scale
+      path's residual-close input (a count never needs the anchor, so
+      it never leaves the NumPy kernel).
     """
     import pyarrow as pa
 
     edge_set = _load_edge_set(edge_set_name) if edge_set_name else None
+    need_a = not (count_only or emit_pairs)
 
     def np_col(batch: "pa.RecordBatch", name: str) -> np.ndarray:
         return batch.column(name).to_numpy(zero_copy_only=False)
@@ -456,20 +461,25 @@ def _csr_batch_iter(
 
     def out(lo: np.ndarray, hi: np.ndarray):
         nonlocal total
-        a, b, c = _run_pairs(lo, hi, need_a=not count_only)
+        a, b, c = _run_pairs(lo, hi, need_a=need_a)
         if b.size and bloom_value is not None:
             mask = _bloom_mask(bloom_value, b, c)
             b, c = b[mask], c[mask]
-            if not count_only:
+            if need_a:
                 a = a[mask]
         if edge_set is not None and b.size:
             mask = _exact_close_mask(edge_set, b, c)
             b, c = b[mask], c[mask]
-            if not count_only:
+            if need_a:
                 a = a[mask]
         if count_only:
             total += int(b.size)
             return None
+        if emit_pairs:
+            return pa.RecordBatch.from_arrays(
+                [pa.array(b, type=pa.int64()), pa.array(c, type=pa.int64())],
+                names=["b", "c"],
+            )
         if edge_set is not None:
             # Finished triangles: canonicalize to a < b < c (the anchor
             # is the lowest-DEGREE vertex, not the lowest id).
@@ -515,6 +525,7 @@ def _wedges_csr(
     bloom_bc=None,
     edge_set_name: str | None = None,
     count_only: bool = False,
+    emit_pairs: bool = False,
 ) -> DataFrame:
     csr = (
         oriented.select("lo", "hi", "hi_deg")
@@ -530,9 +541,15 @@ def _wedges_csr(
             bloom_value=None if bloom_bc is None else bloom_bc.value,
             edge_set_name=edge_set_name,
             count_only=count_only,
+            emit_pairs=emit_pairs,
         )
 
-    schema = "n long" if count_only else _WEDGE_SCHEMA
+    if count_only:
+        schema = "n long"
+    elif emit_pairs:
+        schema = "b long, c long"
+    else:
+        schema = _WEDGE_SCHEMA
     return csr.mapInArrow(kernel, schema=schema)
 
 
@@ -589,28 +606,43 @@ def triangles(
 def triangle_count(edges: DataFrame, strategy: str = "kernel") -> int:
     """Exact triangle count.
 
-    Default "kernel" (round 4): the csr wedge kernel probes the mmap'd
-    exact edge set (behind the Bloom pre-filter past
-    _BROADCAST_EDGE_LIMIT) and emits ONE partial-count row per
-    partition — no wedge row is ever materialized outside a NumPy
-    register file, no exchange, no close join, and the only shuffle is
-    the P-row count aggregate. Falls back to the "join" enumeration
-    count past _KERNEL_CLOSE_EDGE_LIMIT or for explicit strategies.
+    Default "kernel" (round 4), two regimes:
+
+    - <= _BROADCAST_EDGE_LIMIT: the csr wedge kernel probes the mmap'd
+      exact edge set and emits ONE partial-count row per partition —
+      no wedge row is ever materialized outside a NumPy register file,
+      no exchange, no close join; the only shuffle is the P-row count
+      aggregate. (The edge-set build is a serial driver pass, fine at
+      this size.)
+    - past it: the SCALE path. The serial edge-set build would become
+      the Amdahl floor (measured: flat ~40 s at 37M edges, collapsing
+      the 1 -> 4 executor efficiency to ~0.2 even as absolute walls
+      improved), so instead the kernel fuses the Bloom close-key
+      pre-filter and emits only the surviving (b, c) pairs — the
+      anchor column is dropped, counting never needs it — and one
+      bounded shuffled-hash join against the oriented edge set removes
+      the false positives. Every stage fans out; the only serial term
+      left is the Bloom partial merge.
     """
     if strategy != "kernel":
         return triangles(edges, strategy).count()
     oriented = _oriented(edges).localCheckpoint(eager=True)
     n_edges = oriented.count()
-    if n_edges > _KERNEL_CLOSE_EDGE_LIMIT:
-        return triangles(edges, "join").count()
-    bloom_bc = None
-    if n_edges > _BROADCAST_EDGE_LIMIT:
-        bloom_bc = _close_bloom_broadcast(oriented, n_edges, _BLOOM_FPP)
-    partials = _wedges_csr(
-        oriented, bloom_bc, edge_set_name=_edge_set_file(oriented), count_only=True
-    )
-    row = partials.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n")).collect()[0]
-    return int(row["n"])
+    if n_edges <= _BROADCAST_EDGE_LIMIT:
+        partials = _wedges_csr(
+            oriented, None, edge_set_name=_edge_set_file(oriented), count_only=True
+        )
+        row = partials.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n")).collect()[0]
+        return int(row["n"])
+    bloom_bc = _close_bloom_broadcast(oriented, n_edges, _BLOOM_FPP)
+    pairs = _wedges_csr(oriented, bloom_bc, emit_pairs=True)
+    closing = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    if _shj_safe(oriented.sparkSession, n_edges):
+        closing = closing.hint("shuffle_hash")
+    else:
+        parts = _shj_parts(oriented.sparkSession, n_edges)
+        closing = closing.repartition(parts, "b", "c").hint("shuffle_hash")
+    return pairs.join(closing, ["b", "c"]).count()
 
 
 def vertex_triangle_count(tri: DataFrame) -> DataFrame:
