@@ -95,18 +95,24 @@ _BROADCAST_EDGE_LIMIT = 20_000_000  # rows; 2 longs/row ~ 320MB serialized
 _BLOOM_FPP = 0.01
 
 
-def _close_bloom_broadcast(oriented: DataFrame, n_edges: int, fpp: float):
-    """Build the closing-key Bloom filter and broadcast its state."""
-    sk = B.build_long_bloom(oriented, ["lo", "hi"], n_edges, fpp)
-    return oriented.sparkSession.sparkContext.broadcast(
-        (sk.words, sk.num_hashes, sk.version, sk.seed)
-    )
+def _close_filter_state(oriented: DataFrame, n_edges: int, fpp: float):
+    """Build the closing-key pre-filter: a register-blocked Bloom
+    (bloom.build_blocked_bloom — ONE random read per probe instead of
+    the classic filter's k=7, which was the measured latency wall of
+    the wedge kernel at 37M edges). The bitmap is mmap-shared per node;
+    the returned state is a tiny picklable tuple safe to close over.
+    ``fpp`` maps to bits/key (blocking trades space for locality)."""
+    bits = 16 if fpp <= 0.05 else 8
+    return B.build_blocked_bloom(oriented, ["lo", "hi"], n_edges, bits_per_key=bits)
 
 
-def _bloom_mask(bc_value, b: np.ndarray, c: np.ndarray) -> np.ndarray:
-    words, k, version, seed = bc_value
+def _bloom_mask(state, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    h = B.xxhash64_longs([b, c])
+    if isinstance(state, tuple) and state and state[0] == "blk":
+        return B.blocked_contains(state, h)
+    words, k, version, seed = state  # legacy JVM-built sketch state
     sk = B.BloomSketch(words=words, num_hashes=k, version=version, seed=seed)
-    return sk.might_contain_longs(B.xxhash64_longs([b, c]))
+    return sk.might_contain_longs(h)
 
 
 # Max oriented-edge rows for the IN-KERNEL exact close (the round-4
@@ -135,9 +141,7 @@ def _edge_set_file(oriented: DataFrame) -> str:
     JVM-side; the kernel probes with the bit-identical NumPy
     replication (bloom.xxhash64_longs, verified in tests/test_bloom.py).
     """
-    import os
-    import tempfile
-    import uuid
+    from linkgraph import mmapshare
 
     pdf = oriented.select(F.xxhash64("lo", "hi").alias("h"), "lo", "hi").toPandas()
     h = pdf["h"].to_numpy(np.int64).view(np.uint64)
@@ -146,44 +150,17 @@ def _edge_set_file(oriented: DataFrame) -> str:
     arr[0] = h[order].view(np.int64)
     arr[1] = pdf["lo"].to_numpy(np.int64)[order]
     arr[2] = pdf["hi"].to_numpy(np.int64)[order]
-    name = f"linkgraph_edgeset_{uuid.uuid4().hex}.npy"
-    path = os.path.join(tempfile.gettempdir(), name)
-    np.save(path, arr)
-    oriented.sparkSession.sparkContext.addFile(path)
-    # The staging original must OUTLIVE the job in cluster mode: the
-    # driver's Netty file server streams addFile content from the
-    # REGISTERED path (only local mode takes a userFiles copy), so an
-    # eager unlink makes every executor fetch fail ("Stream /files/...
-    # not found" — bit us on local-cluster). Clean up at driver exit
-    # instead; at 1e8 edges each file is multi-GB.
-    _STAGED_FILES.append(path)
-    return name
-
-
-_STAGED_FILES: list[str] = []
-
-
-def _cleanup_staged() -> None:  # pragma: no cover — exit hook
-    import os
-
-    for p in _STAGED_FILES:
-        try:
-            os.unlink(p)
-        except OSError:
-            pass
-
-
-import atexit as _atexit
-
-_atexit.register(_cleanup_staged)
+    return mmapshare.stage_array(
+        oriented.sparkSession.sparkContext, arr, prefix="linkgraph_edgeset"
+    )
 
 
 def _load_edge_set(name: str) -> tuple:
     tup = _EDGE_SET_CACHE.get(name)
     if tup is None:
-        from pyspark import SparkFiles
+        from linkgraph import mmapshare
 
-        arr = np.load(SparkFiles.get(name), mmap_mode="r")
+        arr = mmapshare.load_array(name)
         tup = (arr[0].view(np.uint64), arr[1], arr[2])
         _EDGE_SET_CACHE[name] = tup
     return tup
@@ -210,7 +187,7 @@ def _exact_close_mask(edge_set: tuple, b: np.ndarray, c: np.ndarray) -> np.ndarr
     return found
 
 
-def _bloom_probe(bloom_bc):
+def _bloom_probe(state):
     """mapInArrow stage: drop wedge rows whose (b, c) cannot close.
 
     Runs pipelined in the wedge-producing stage, i.e. BEFORE the close
@@ -224,7 +201,7 @@ def _bloom_probe(bloom_bc):
         for batch in batches:
             b = batch.column("b").to_numpy(zero_copy_only=False)
             c = batch.column("c").to_numpy(zero_copy_only=False)
-            mask = _bloom_mask(bloom_bc.value, b, c)
+            mask = _bloom_mask(state, b, c)
             yield batch if mask.all() else batch.filter(pa.array(mask))
 
     return probe
@@ -534,11 +511,11 @@ def _wedges_csr(
         .sortWithinPartitions("lo", "hi_deg", "hi")
     )
     def kernel(batches):
-        # bloom_bc.value dereferenced EXECUTOR-side: shipping the
-        # broadcast handle keeps the bit array out of the task closure.
+        # blocked-bloom state is a tiny (tag, file, n_words) tuple —
+        # safe to close over; the bitmap itself is mmap'd per worker.
         return _csr_batch_iter(
             batches,
-            bloom_value=None if bloom_bc is None else bloom_bc.value,
+            bloom_value=bloom_bc,
             edge_set_name=edge_set_name,
             count_only=count_only,
             emit_pairs=emit_pairs,
@@ -584,7 +561,7 @@ def triangles(
     n_edges = oriented.count()
     bloom_bc = None
     if bloom_fpp is not None and n_edges > _BROADCAST_EDGE_LIMIT:
-        bloom_bc = _close_bloom_broadcast(oriented, n_edges, bloom_fpp)
+        bloom_bc = _close_filter_state(oriented, n_edges, bloom_fpp)
     if strategy == "csr":
         if kernel_close is None:
             kernel_close = n_edges <= _KERNEL_CLOSE_EDGE_LIMIT
@@ -634,7 +611,7 @@ def triangle_count(edges: DataFrame, strategy: str = "kernel") -> int:
         )
         row = partials.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n")).collect()[0]
         return int(row["n"])
-    bloom_bc = _close_bloom_broadcast(oriented, n_edges, _BLOOM_FPP)
+    bloom_bc = _close_filter_state(oriented, n_edges, _BLOOM_FPP)
     pairs = _wedges_csr(oriented, bloom_bc, emit_pairs=True)
     closing = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
     if _shj_safe(oriented.sparkSession, n_edges):

@@ -87,3 +87,46 @@ def test_triangles_bloom_path_parity(spark, monkeypatch):
             )
         )
         assert got == want, strategy
+
+
+# ------------------------------------------ blocked Bloom (round 4)
+
+
+def test_blocked_bloom_no_false_negatives_and_fpp(spark):
+    import numpy as np
+
+    from linkgraph import bloom as B
+    from linkgraph import mmapshare
+
+    n = 200_000
+    df = spark.range(n).selectExpr("id as lo", "id * 7 + 3 as hi")
+    state = B.build_blocked_bloom(df, ["lo", "hi"], n, bits_per_key=16)
+    lo = np.arange(n, dtype=np.int64)
+    hi = lo * 7 + 3
+    h = B.xxhash64_longs([lo, hi])
+    assert B.blocked_contains(state, h).all()  # zero false negatives
+    # disjoint non-keys: measured fpp must be near the design point
+    lo2 = np.arange(n, 2 * n, dtype=np.int64)
+    hi2 = lo2 * 11 + 5
+    h2 = B.xxhash64_longs([lo2, hi2])
+    fpp = float(B.blocked_contains(state, h2).mean())
+    assert fpp < 0.02, fpp
+    mmapshare._CACHE.clear()
+
+
+def test_blocked_bloom_idx_mask_properties():
+    import numpy as np
+
+    from linkgraph.bloom import _BB_K, _bb_idx_mask
+
+    h = np.random.default_rng(7).integers(0, 2**63, size=10_000).astype(
+        np.uint64
+    )
+    idx, mask = _bb_idx_mask(h, 4096)
+    assert idx.min() >= 0 and idx.max() < 4096
+    # masks have between 1 and K bits set (chunk collisions allowed)
+    bits = np.array([bin(int(m)).count("1") for m in mask])
+    assert bits.min() >= 1 and bits.max() <= _BB_K
+    # deterministic
+    idx2, mask2 = _bb_idx_mask(h, 4096)
+    assert (idx == idx2).all() and (mask == mask2).all()
