@@ -83,15 +83,17 @@ _BROADCAST_EDGE_LIMIT = 20_000_000  # rows; 2 longs/row ~ 320MB serialized
 
 # Past the broadcast limit the full O(sum deg_out^2) wedge stream would
 # cross the close-join exchange just for ~(1 - T/W) of it to be dropped
-# by the join. A Bloom filter of the closing keys (JVM treeAggregate
-# build, NumPy probe INSIDE the wedge kernel / a pipelined Arrow stage
-# BEFORE the exchange) cuts the exchanged rows to T + fpp*W; the exact
-# join then removes the false positives, so results are unchanged. At
-# 0.01 fpp the bit array is ~1.2 bytes/edge (44 MB at 37M edges) —
-# broadcast once per job. Exchange volume is the non-scaling term on a
-# multi-executor close (it crosses JVM/network boundaries), so this is
-# the lever that moves N -> 4N scaling efficiency at >= broadcast-limit
-# sizes.
+# by the join. A Bloom filter of the closing keys — since round 4 the
+# REGISTER-BLOCKED filter (bloom.build_blocked_bloom: distributed
+# Arrow partial-bitmap build, one random read per probe, bitmap
+# mmap-shared per node) — probed INSIDE the wedge kernel (csr) or in a
+# pipelined Arrow stage BEFORE the exchange (join/sql) cuts the
+# exchanged rows to T + fpp*W; the exact join then removes the false
+# positives, so results are unchanged. At 16 bits/key the bitmap is
+# 2 bytes/edge (74 MB at 37M edges), fetched once per node. Exchange
+# volume is the non-scaling term on a multi-executor close (it crosses
+# JVM/network boundaries), so this is the lever that moves N -> 4N
+# scaling efficiency at >= broadcast-limit sizes.
 _BLOOM_FPP = 0.01
 
 
