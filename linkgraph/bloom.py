@@ -359,11 +359,15 @@ def build_blocked_bloom(
     """
     n_words = max(64, -(-int(expected_items) * int(bits_per_key) // 64))
     keyed = df.select(F.xxhash64(*[F.col(c) for c in cols]).alias("h"))
-    # Same partial-merge sizing logic as build_long_bloom: bound the
-    # number of bitmap partials the driver must OR.
+    # Bound BOTH the number of partials the driver must OR (serial
+    # merge) and their aggregate bytes (driver result size): at 148.6M
+    # edges the bitmap is 297 MB, so 8 partials would collect 2.3 GB —
+    # cap total collected partial bytes at ~1.5 GB, floor 2 partials.
+    bitmap_bytes = n_words * 8
+    max_partials = max(2, min(8, 1_500_000_000 // max(bitmap_bytes, 1)))
     n_parts = keyed.rdd.getNumPartitions()
-    if n_parts > 8:
-        keyed = keyed.coalesce(max(8, n_parts // 4))
+    if n_parts > max_partials:
+        keyed = keyed.coalesce(max_partials)
     rows = keyed.mapInArrow(
         _bb_partial_bitmap(n_words), schema="bm binary"
     ).collect()

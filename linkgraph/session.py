@@ -54,6 +54,15 @@ def build_session(
         # execution-memory pool; 8g starves hash builds past ~10M-edge
         # inputs on this 128 GiB box).
         .config("spark.driver.memory", os.environ.get("LINKGRAPH_DRIVER_MEM", "24g"))
+        # Bounded-by-design driver collects (blocked-bloom partial
+        # bitmaps, per-partition partial sums) legitimately exceed the
+        # 1g default at 1e8+-edge scale — enforced in cluster mode,
+        # where the 148.6M-edge bloom build's 8 x 297 MB partials
+        # killed every executor-mode rep until raised.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("LINKGRAPH_MAX_RESULT", "8g"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
