@@ -175,8 +175,14 @@ def run_level(mode: str, edges_path: str) -> None:
             "spark.network.timeout": "600s",
             "spark.executor.heartbeatInterval": "60s",
         }
+    # Shuffle partitions must scale with DATA, not cores: at 148.6M
+    # edges, shuffle_partitions=8 (lc:1's core count) put ~18.6M rows
+    # in each aggregation task and OOM'd the 16g executor heap. AQE
+    # coalesces small partitions, so a high count is safe at every
+    # level; default 128 matches the local[32] large-graph protocol.
+    shuffle = int(os.environ.get("SCALING_SHUFFLE", "0")) or max(cores, 128)
     spark = build_session(
-        f"scaling-{mode}", master=master, shuffle_partitions=cores, extra_conf=extra
+        f"scaling-{mode}", master=master, shuffle_partitions=shuffle, extra_conf=extra
     )
     spark.sparkContext.setLogLevel("ERROR")
     edges = spark.read.parquet(edges_path).localCheckpoint(eager=True)
