@@ -1916,7 +1916,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity": _q_eccentricity,
         "events_trending": _q_events_trending,
         "events_range_join": _q_events_range_join,
-        "wordpiece_tokens": _q_wordpiece,
         "training_shards": _q_training_shards,
     }
 
@@ -2272,7 +2271,7 @@ def _heavy_hitters_oracle() -> str:
     )
     ph = _poly_sql("term", 31, phash.P1)
     return rf"""
-WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+')) AS term
              FROM documents WHERE length(trim(text)) > 0),
 hashed AS (SELECT term, {ph} AS h FROM tok),
 seeds(row, a, b) AS (VALUES {seeds}),
@@ -2409,7 +2408,7 @@ def _minhash_pipe() -> str:
     )
     return rf"""{_DOCS2},
 t AS (SELECT doc_id AS id, trim(lower(text)) AS tx FROM d2),
-w AS (SELECT id, tx, regexp_split_to_array(tx, '\s+') AS ws FROM t),
+w AS (SELECT id, tx, regexp_split_to_array(tx, '[ \t\n\r\f\x0B]+') AS ws FROM t),
 gs AS (SELECT id, CASE WHEN len(ws) >= 3
          THEN list_transform(generate_series(1, len(ws) - 2),
               i -> array_to_string(ws[i:i+2], ' '))
@@ -2476,7 +2475,7 @@ lf AS (SELECT doc_id,
               ELSE 0.0 END AS dup_para_char_frac
        FROM ln),
 w AS (SELECT doc_id, length(t) AS total,
-         regexp_split_to_array(lower(trim(t)), '\s+') AS ws FROM tt),
+         regexp_split_to_array(lower(trim(t)), '[ \t\n\r\f\x0B]+') AS ws FROM tt),
 g AS (SELECT doc_id, total, nn.n,
          unnest(CASE WHEN len(ws) >= nn.n
            THEN list_transform(generate_series(1, len(ws) - nn.n + 1),
@@ -2538,7 +2537,7 @@ def _simhash_oracle() -> str:
     return rf"""
 WITH {_DOCS2},
 t AS (SELECT doc_id AS id, trim(lower(text)) AS tx FROM d2),
-tok AS (SELECT id, unnest(regexp_split_to_array(tx, '\s+')) AS wd FROM t),
+tok AS (SELECT id, unnest(regexp_split_to_array(tx, '[ \t\n\r\f\x0B]+')) AS wd FROM t),
 th AS (SELECT id, (({h1}) << 31) + ({h2}) AS h FROM tok),
 bits AS (SELECT unnest(generate_series(0, 63)) AS b),
 votes AS (SELECT id, b,
@@ -2627,8 +2626,8 @@ WITH t AS (
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
          length(regexp_replace(text, '[^\\.,;:!?''"()]', '', 'g')) AS n_punct,
          CASE WHEN length(text) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS n_words,
-         len(list_intersect(regexp_split_to_array(trim(lower(text)), '\\s+'),
+              ELSE len(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+')) END AS n_words,
+         len(list_intersect(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+'),
                             [{_STOP['en']}])) AS n_stop
   FROM documents),
 r AS (
@@ -2655,7 +2654,7 @@ FROM r
     )
     language = f"""
 WITH t AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents),
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+') AS w FROM documents),
 s AS (SELECT doc_id, {lang_scores} FROM t),
 g AS (SELECT doc_id, s_en, s_de, s_fr, s_es,
              greatest(s_en, s_de, s_fr, s_es) AS best FROM s)
@@ -3780,8 +3779,8 @@ FROM d2 GROUP BY md5(text) HAVING count(*) > 1
         "token_stats": r"""
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens_ws,
-       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS n_tokens_bpe
+            ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+')) END AS n_tokens_ws,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0B]', 0)) AS n_tokens_bpe
 FROM documents
 """,
         # Concat-and-chunk packing: same whitespace token count as
@@ -3795,7 +3794,7 @@ FROM documents
         "sequence_packing": r"""
 WITH t AS (SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+            ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+')) END AS n_tokens
        FROM documents),
 o AS (SELECT doc_id, n_tokens,
        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
@@ -3822,7 +3821,7 @@ ORDER BY doc_id
 WITH RECURSIVE
 t AS (SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+            ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+')) END AS n_tokens
       FROM documents),
 bounds AS (SELECT min(doc_id) AS lo,
                   greatest(1, (max(doc_id) - min(doc_id) + 1 + 7) // 8)
@@ -3904,7 +3903,7 @@ WHERE h % 1000000 < CASE d.lang WHEN 'en' THEN 500000
         # against the stand-in benchmark set (doc_id % 40 = 0); exact
         # lowercase word n-gram strings, no hashing.
         "ngram_decontamination": r"""
-WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+') AS ws
            FROM documents),
 g AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 5
         THEN list_transform(generate_series(1, len(ws) - 4),
@@ -4069,7 +4068,7 @@ WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
         "ngram_jaccard": rf"""
 WITH {_DOCS2},
 t AS (SELECT doc_id AS id, trim(lower(text)) AS tx FROM d2),
-w AS (SELECT id, tx, regexp_split_to_array(tx, '\s+') AS ws FROM t),
+w AS (SELECT id, tx, regexp_split_to_array(tx, '[ \t\n\r\f\x0B]+') AS ws FROM t),
 sh AS (SELECT id, CASE WHEN len(ws) >= 3
          THEN list_distinct(list_transform(generate_series(1, len(ws)-2),
               i -> array_to_string(ws[i:i+2], ' ')))
@@ -4134,7 +4133,7 @@ SELECT CAST(wid AS BIGINT) AS walk_id, CAST(step AS BIGINT) AS step,
         "pmi_pairs": r"""
 WITH dw AS (SELECT DISTINCT doc, term FROM (
               SELECT doc_id AS doc,
-                     unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                     unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+')) AS term
               FROM documents WHERE length(trim(text)) > 0)),
 n AS (SELECT count(DISTINCT doc) AS n_docs FROM dw),
 cw AS (SELECT term, count(*) AS df FROM dw GROUP BY term),
@@ -4152,7 +4151,7 @@ SELECT term_a, term_b, n_pairs,
 FROM j
 """,
         "term_frequencies": r"""
-WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+')) AS term
              FROM documents WHERE length(trim(text)) > 0),
 c AS (SELECT term, count(*) AS freq FROM tok GROUP BY term),
 r AS (SELECT term, freq,
@@ -4269,7 +4268,7 @@ FROM m
         # word granularity, n=8): shingle, count gram occurrences,
         # island-merge consecutive duplicated positions.
         "duplicate_spans": r"""
-WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+') AS ws
              FROM documents WHERE length(trim(text)) > 0),
 sh AS (SELECT doc_id, i - 1 AS pos,
               array_to_string(ws[i : i + 7], ' ') AS gram
@@ -4287,7 +4286,7 @@ FROM isl GROUP BY doc_id, k
 """,
         # Per-doc duplicated-token mass from the same span algebra.
         "duplicate_fraction": r"""
-WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+') AS ws
              FROM documents WHERE length(trim(text)) > 0),
 sh AS (SELECT doc_id, i - 1 AS pos,
               array_to_string(ws[i : i + 7], ' ') AS gram
@@ -4306,7 +4305,7 @@ per AS (SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_tokens
 nt AS (SELECT doc_id,
               CAST(CASE WHEN length(trim(text)) > 0
                         THEN len(regexp_split_to_array(trim(lower(text)),
-                                                       '\s+'))
+                                                       '[ \t\n\r\f\x0B]+'))
                         ELSE 0 END AS BIGINT) AS n_tokens
        FROM documents)
 SELECT nt.doc_id, nt.n_tokens,
@@ -4320,7 +4319,7 @@ FROM nt LEFT JOIN per ON per.doc_id = nt.doc_id
         # Zipf fit: population LS slope of ln(freq) on ln(rank) over the
         # top 40 terms (regr_slope == covar_pop / var_pop).
         "corpus_stats": r"""
-WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+')) AS term
              FROM documents WHERE length(trim(text)) > 0),
 c AS (SELECT term, count(*) AS freq FROM tok GROUP BY term),
 tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n_tokens, count(*) AS vocab_size
@@ -4338,7 +4337,7 @@ FROM tot CROSS JOIN z
         # float divergence is per-doc summation order (~1e-15), far
         # below the 6-decimal rounding.
         "unigram_lm": r"""
-WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+') AS ws
            FROM documents WHERE length(trim(text)) > 0),
 tok AS (SELECT doc_id, unnest(ws) AS term FROM t),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
@@ -4367,7 +4366,7 @@ WITH f AS (
          CAST(len(list_distinct(ws)) AS DOUBLE)
            / CAST(len(ws) AS DOUBLE) AS x3
   FROM (SELECT doc_id, lang,
-               regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+               regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+') AS ws
         FROM documents WHERE length(trim(text)) > 0)
 ),
 g1 AS (SELECT sum(0.5 - y) / count(*) AS g0,
@@ -4408,7 +4407,7 @@ FROM (SELECT doc_id, y,
         # expression (division order matters at the final rounding).
         "dsir_resample": f"""
 WITH t AS (SELECT doc_id, lang,
-             regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+             regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+') AS ws
            FROM documents WHERE length(trim(text)) > 0),
 g AS (SELECT doc_id, lang,
         unnest(list_concat(ws,
@@ -4470,7 +4469,7 @@ ln AS (SELECT doc_id, t,
 kp AS (SELECT doc_id, t, ls,
          list_transform(list_filter(ls, x ->
            right(trim(x), 1) IN ('.', '!', '?', '"')
-           AND len(regexp_split_to_array(trim(x), '\s+')) >= 3),
+           AND len(regexp_split_to_array(trim(x), '[ \t\n\r\f\x0B]+')) >= 3),
            x -> trim(x)) AS ks
        FROM ln),
 agg AS (SELECT doc_id,
@@ -4498,11 +4497,11 @@ FROM s
 WITH tt AS (SELECT doc_id,
               regexp_replace(replace(replace(text, ' the ', chr(10) || '- '),
                              ' data ', '...' || chr(10)),
-                             '^\s+|\s+$', '', 'g') AS t
+                             '^[ \t\n\r\f\x0B]+|[ \t\n\r\f\x0B]+$', '', 'g') AS t
             FROM documents),
 w AS (SELECT doc_id, t,
         CASE WHEN length(trim(t)) = 0 THEN CAST([] AS VARCHAR[])
-             ELSE regexp_split_to_array(trim(t), '\s+') END AS words,
+             ELSE regexp_split_to_array(trim(t), '[ \t\n\r\f\x0B]+') END AS words,
         list_transform(
           list_filter(string_split(t, chr(10)), x -> trim(x) != ''),
           x -> trim(x)) AS lines
@@ -4648,7 +4647,7 @@ FROM tail
 """,
         # BPE round-0 pair statistics over the distinct-word table.
         "bpe_char_pairs": r"""
-WITH w AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+WITH w AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+')) AS word
            FROM documents WHERE length(trim(text)) > 0),
 wf AS (SELECT word, count(*) AS freq FROM w
        WHERE length(word) > 0 GROUP BY word),
@@ -4830,7 +4829,7 @@ FROM tr, ch
         # Vocabulary ids by (freq desc, term): deterministic in both
         # engines; min_count floor keeps the rank window bounded.
         "vocabulary": r"""
-WITH t AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+WITH t AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+')) AS term
            FROM documents WHERE length(trim(text)) > 0),
 c AS (SELECT term, count(*) AS freq FROM t GROUP BY term HAVING count(*) >= 5),
 r AS (SELECT term, freq,
@@ -4840,14 +4839,14 @@ SELECT CAST(token_id AS BIGINT) AS token_id, term, freq
 FROM r WHERE token_id < 200
 """,
         "oov_rate": r"""
-WITH t AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+WITH t AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+')) AS term
            FROM documents WHERE length(trim(text)) > 0),
 c AS (SELECT term, count(*) AS freq FROM t GROUP BY term HAVING count(*) >= 5),
 r AS (SELECT term, row_number() OVER (ORDER BY freq DESC, term) - 1 AS token_id
       FROM c),
 v AS (SELECT term FROM r WHERE token_id < 50),
 tok AS (SELECT doc_id,
-          unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+          unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+')) AS term
         FROM documents WHERE length(trim(text)) > 0),
 j AS (SELECT tok.doc_id, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
       FROM tok LEFT JOIN v ON v.term = tok.term)
@@ -4956,7 +4955,7 @@ WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 5 = 0)
         "budget_select": r"""
 WITH t AS (SELECT doc_id, lang, n_chars,
        CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS cost
+            ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+')) END AS cost
        FROM documents),
 c AS (SELECT doc_id, lang,
        CAST(sum(cost) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id

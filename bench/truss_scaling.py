@@ -144,7 +144,9 @@ def main() -> None:
             ]
             out = subprocess.run(
                 cmd, capture_output=True, text=True,
-                env={**os.environ, "PYTHONPATH": REPO},
+                env={**os.environ, "PYTHONPATH": os.pathsep.join(
+                    [REPO, os.environ.get("PYTHONPATH", "")]
+                ).rstrip(os.pathsep)},
             )
             lines = [
                 l for l in out.stdout.splitlines() if l.startswith("LEVELJSON ")

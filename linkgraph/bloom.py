@@ -292,10 +292,20 @@ def build_long_bloom(
 # needs ~10 bits/key for 1% — a trade of +60% space for 7x fewer
 # random accesses.
 #
-# Build is distributed: Arrow-batched partial bitmaps per coalesced
-# partition, OR-merged on the driver, then mmap-shared to workers via
-# linkgraph.mmapshare (one page-cache copy per node; the probe state
-# shipped through closures is just (name, n_words)).
+# Build is distributed END-TO-END: the kernel emits SPARSE
+# (word index, word) pairs and a Catalyst hash aggregate
+# groupBy(idx).agg(bit_or(w)) OR-merges them — partial aggregation
+# combines map-side, the exchange carries only distinct-per-task set
+# words, and the merge parallelizes over the cluster. The driver
+# receives exactly ONE merged result (<= n_words sparse rows, ~2x the
+# final bitmap's bytes), scatters it into the dense bitmap, and
+# mmap-shares it to workers via linkgraph.mmapshare (one page-cache
+# copy per node; the probe state shipped through closures is just
+# (name, n_words)). Round 4 instead collected up to 8 DENSE partial
+# bitmaps (297 MB each at 148.6M edges, driver.maxResultSize raised to
+# 8g) for a serial driver-side OR — linear in |E| and the last serial
+# stage of the triangle scale path; at 1e9 edges it would have been a
+# multi-GB driver term.
 # ------------------------------------------------------------------------
 
 _BB_K = 8
@@ -322,29 +332,30 @@ def _bb_idx_mask(h: np.ndarray, n_words: int) -> tuple[np.ndarray, np.ndarray]:
     return idx, mask
 
 
-def _bb_partial_bitmap(n_words: int):
-    """mapInArrow kernel: one OR-accumulated bitmap per partition,
-    emitted as a single binary row at end-of-partition."""
+def _bb_sparse_pairs(n_words: int):
+    """mapInArrow kernel: per input batch, the DISTINCT (word index,
+    8-bit-set word) pairs its keys touch — the sparse form of the
+    bitmap update, deduped within the batch by sort + OR-reduceat
+    (ufunc.at is ~50x slower). Cross-batch / cross-partition dedup is
+    the downstream hash aggregate's partial-merge job, so the kernel
+    holds O(batch) memory, never O(n_words)."""
 
     def gen(batches):
         import pyarrow as pa
 
-        bitmap = np.zeros(n_words, dtype=np.uint64)
         for batch in batches:
             h = batch.column("h").to_numpy(zero_copy_only=False).view(np.uint64)
             if not h.size:
                 continue
             idx, mask = _bb_idx_mask(h, n_words)
-            # vectorized scatter-OR: sort by word, OR-reduce each run,
-            # one assignment per distinct word (ufunc.at is ~50x slower)
             order = np.argsort(idx, kind="stable")
             si, sm = idx[order], mask[order]
             starts = np.flatnonzero(np.r_[True, si[1:] != si[:-1]])
             red = np.bitwise_or.reduceat(sm, starts)
-            bitmap[si[starts]] |= red
-        yield pa.RecordBatch.from_arrays(
-            [pa.array([bitmap.tobytes()], type=pa.binary())], names=["bm"]
-        )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(si[starts]), pa.array(red.view(np.int64))],
+                names=["idx", "w"],
+            )
 
     return gen
 
@@ -354,26 +365,32 @@ def build_blocked_bloom(
 ) -> tuple[str, str, int]:
     """Distributed blocked-Bloom build over xxhash64(cols).
 
+    The OR-merge of partition partials runs EXECUTOR-SIDE as a
+    Catalyst hash aggregate over sparse (idx, w) pairs: partial
+    aggregation combines duplicates map-side before the exchange, the
+    final aggregate parallelizes across the cluster, and the only
+    driver transfer is the single merged sparse result (<= n_words
+    rows; at ~4 keys/word essentially every word is set, so ~16 B/word
+    = 2x the bitmap's 8 B/word). No dense partial ever crosses to the
+    driver and no driver.maxResultSize tuning is needed at any |E|.
+
     Returns the probe state ``("blk", file_name, n_words)`` — plain
     picklable values; workers mmap the bitmap on first probe.
     """
     n_words = max(64, -(-int(expected_items) * int(bits_per_key) // 64))
     keyed = df.select(F.xxhash64(*[F.col(c) for c in cols]).alias("h"))
-    # Bound BOTH the number of partials the driver must OR (serial
-    # merge) and their aggregate bytes (driver result size): at 148.6M
-    # edges the bitmap is 297 MB, so 8 partials would collect 2.3 GB —
-    # cap total collected partial bytes at ~1.5 GB, floor 2 partials.
-    bitmap_bytes = n_words * 8
-    max_partials = max(2, min(8, 1_500_000_000 // max(bitmap_bytes, 1)))
-    n_parts = keyed.rdd.getNumPartitions()
-    if n_parts > max_partials:
-        keyed = keyed.coalesce(max_partials)
-    rows = keyed.mapInArrow(
-        _bb_partial_bitmap(n_words), schema="bm binary"
-    ).collect()
+    merged = (
+        keyed.mapInArrow(_bb_sparse_pairs(n_words), schema="idx bigint, w bigint")
+        .groupBy("idx")
+        .agg(F.bit_or("w").alias("w"))
+    )
+    pdf = merged.toPandas()
     bitmap = np.zeros(n_words, dtype=np.uint64)
-    for r in rows:
-        bitmap |= np.frombuffer(r["bm"], dtype=np.uint64)
+    if len(pdf):
+        bitmap[pdf["idx"].to_numpy(np.int64)] = (
+            pdf["w"].to_numpy(np.int64).view(np.uint64)
+        )
+    del pdf
     from linkgraph import mmapshare
 
     name = mmapshare.stage_array(

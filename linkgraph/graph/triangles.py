@@ -147,11 +147,17 @@ def _edge_set_file(oriented: DataFrame) -> str:
 
     pdf = oriented.select(F.xxhash64("lo", "hi").alias("h"), "lo", "hi").toPandas()
     h = pdf["h"].to_numpy(np.int64).view(np.uint64)
+    lo = pdf["lo"].to_numpy(np.int64)
+    hi = pdf["hi"].to_numpy(np.int64)
+    n = len(pdf)
+    del pdf  # free the frame before the int64[3][n] copy: near the
+    # 200M-edge limit frame + copy together would double peak driver RSS
     order = np.argsort(h, kind="stable")
-    arr = np.empty((3, len(pdf)), dtype=np.int64)
+    arr = np.empty((3, n), dtype=np.int64)
     arr[0] = h[order].view(np.int64)
-    arr[1] = pdf["lo"].to_numpy(np.int64)[order]
-    arr[2] = pdf["hi"].to_numpy(np.int64)[order]
+    arr[1] = lo[order]
+    arr[2] = hi[order]
+    del h, lo, hi, order
     return mmapshare.stage_array(
         oriented.sparkSession.sparkContext, arr, prefix="linkgraph_edgeset"
     )

@@ -130,3 +130,28 @@ def test_blocked_bloom_idx_mask_properties():
     # deterministic
     idx2, mask2 = _bb_idx_mask(h, 4096)
     assert (idx == idx2).all() and (mask == mask2).all()
+
+
+def test_stage_array_content_addressed_reuse(spark):
+    """Round-5 mmapshare change: staging identical content twice
+    returns the same name without accruing staged bytes; different
+    content stages fresh."""
+    import numpy as np
+
+    from linkgraph import mmapshare
+
+    a = np.arange(1000, dtype=np.int64).reshape(2, 500)
+    before = mmapshare.staged_bytes()
+    n1 = mmapshare.stage_array(spark.sparkContext, a, prefix="t_reuse")
+    mid = mmapshare.staged_bytes()
+    n2 = mmapshare.stage_array(spark.sparkContext, a.copy(), prefix="t_reuse")
+    assert n1 == n2
+    assert mmapshare.staged_bytes() == mid == before + a.nbytes
+    b = a + 1
+    n3 = mmapshare.stage_array(spark.sparkContext, b, prefix="t_reuse")
+    assert n3 != n1
+    assert mmapshare.staged_bytes() == mid + b.nbytes
+    # empty arrays stage without error (memoryview cast edge case)
+    e = np.empty((3, 0), dtype=np.int64)
+    n4 = mmapshare.stage_array(spark.sparkContext, e, prefix="t_reuse")
+    assert n4 != n3
