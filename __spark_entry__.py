@@ -1769,9 +1769,62 @@ def _q_media_features(spark, sf):
 # slice; do not insert entries above the sentinel without updating it.
 _CONTRACT_SET_SIZE = 50
 
+# Driver-window ROTATION (round 5, VERDICT r4 item 6): the driver's
+# correctness gate evaluates the first _CONTRACT_SET_SIZE registry
+# entries, so only those 50 of the 137 queries accumulate driver-grade
+# evidence. Each round ~10 long-green rows rotate OUT (their oracles
+# untouched by the round's diffs; semantics stay pinned by pytest and
+# by sibling rows of the same operator family) in favour of rows that
+# so far rest on the committed full-registry oracle log alone. The 7
+# round-1 failures never rotate out (tests/test_registry.py).
+#
+# Round-5 rotation — out: degrees, edge_support, reciprocal_edges,
+# kcore_4, dedup_exact, embedding_topk, paragraph_dedup,
+# events_window_counts, events_funnel, events_asof.
+# In: training_shards (round-4 operator, first driver evidence),
+# betweenness, louvain_communities, scc_labels, hyperball_balls,
+# sssp_weighted, fiedler_vector, item_similarity, butterfly_count,
+# windowed_pagerank (all green in BENCH/oracle_check_r4_final.log;
+# most judge-spot-verified in round 4).
+_ROTATED_IN = [
+    "training_shards",
+    "betweenness",
+    "louvain_communities",
+    "scc_labels",
+    "hyperball_balls",
+    "sssp_weighted",
+    "fiedler_vector",
+    "item_similarity",
+    "butterfly_count",
+    "windowed_pagerank",
+]
+_ROTATED_OUT = [
+    "degrees",
+    "edge_support",
+    "reciprocal_edges",
+    "kcore_4",
+    "dedup_exact",
+    "embedding_topk",
+    "paragraph_dedup",
+    "events_window_counts",
+    "events_funnel",
+    "events_asof",
+]
+
+
+def _apply_rotation(d: dict) -> dict:
+    """Reorder the registry so the driver window reflects the round's
+    rotation: rotated-out rows move just past the window sentinel (they
+    stay in the full registry), rotated-in rows take their places."""
+    keys = list(d)
+    window = [k for k in keys[:_CONTRACT_SET_SIZE] if k not in set(_ROTATED_OUT)]
+    window += [k for k in _ROTATED_IN if k in d]
+    rest = [k for k in keys if k not in set(window)]
+    return {k: d[k] for k in (*window, *rest)}
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return _apply_rotation({
         # ---- driver contract set: graph core (15) ----
         "copurchase_edges": _q_edges,
         "degrees": _q_degrees,
@@ -1917,7 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trending": _q_events_trending,
         "events_range_join": _q_events_range_join,
         "training_shards": _q_training_shards,
-    }
+    })
 
 
 # --------------------------------------------------------------------------

@@ -156,13 +156,45 @@ def _parse_mode(mode: str) -> tuple[str, int, int]:
     return f"local[{n}]", n, 0
 
 
+def _stage_metrics(spark) -> dict | None:
+    """Cumulative shuffle/spill bytes over all completed stages, via the
+    UI REST API (needs spark.ui.enabled). Deltas between snapshots
+    attribute bytes to a phase; returns None when the UI is off."""
+    import urllib.request
+
+    url = spark.sparkContext.uiWebUrl
+    if not url:
+        return None
+    app_id = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{url}/api/v1/applications/{app_id}/stages", timeout=15
+        ) as r:
+            stages = json.load(r)
+    except Exception:
+        return None
+    return {
+        "shuffle_write_b": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        "shuffle_read_b": sum(s.get("shuffleReadBytes", 0) for s in stages),
+        "disk_spill_b": sum(s.get("diskBytesSpilled", 0) for s in stages),
+        "mem_spill_b": sum(s.get("memoryBytesSpilled", 0) for s in stages),
+    }
+
+
+def _metric_delta(after: dict | None, before: dict | None) -> dict | None:
+    if after is None or before is None:
+        return None
+    return {k: after[k] - before.get(k, 0) for k in after}
+
+
 def run_level(mode: str, edges_path: str) -> None:
     from linkgraph.graph.pagerank import pagerank
     from linkgraph.graph.triangles import triangle_count
     from linkgraph.session import build_session
 
     master, cores, n_exec = _parse_mode(mode)
-    extra = {}
+    # UI on for the stage-metric (shuffle/spill bytes) REST scrape.
+    extra = {"spark.ui.enabled": "true"}
     if n_exec:
         # Constant per-executor resources (8 cores / 16g), the honest
         # cluster analogy: scaling out adds machines, not bigger ones.
@@ -208,11 +240,13 @@ def run_level(mode: str, edges_path: str) -> None:
         # a triangle pass per rep would triple the suite wall time);
         # the log is merged into the report by hand, never by
         # write_report (which needs tri_sec).
-        n_tri, t_tri = None, None
+        n_tri, t_tri, tri_metrics = None, None, None
     else:
+        snap0 = _stage_metrics(spark)
         t0 = time.time()
         n_tri = triangle_count(edges)
         t_tri = time.time() - t0
+        tri_metrics = _metric_delta(_stage_metrics(spark), snap0)
 
     pr = pagerank(edges, max_iter=PR_ITERS, tol=0.0)
     pr.ranks.count()
@@ -229,6 +263,7 @@ def run_level(mode: str, edges_path: str) -> None:
                 "n_edges": n_edges,
                 "n_triangles": n_tri,
                 "tri_sec": None if t_tri is None else round(t_tri, 3),
+                "tri_metrics": tri_metrics,
                 "pr_loop_sec": round(t_pr, 3),
                 "pr_supersteps": len(walls) - PR_SKIP,
                 "pr_walls": walls,

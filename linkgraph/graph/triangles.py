@@ -398,12 +398,54 @@ def _run_pairs(
     return a, hi[base + i], hi[base + j]
 
 
+def _agg_pairs_batch(
+    bs: list[np.ndarray], cs: list[np.ndarray], pack: bool
+) -> "object":
+    """End-of-partition pre-aggregation of the survivor pair buffer.
+
+    Sort + run-length count: one row per DISTINCT closing pair in this
+    partition with its wedge multiplicity. Packed form keys on the
+    injective ``(b << 32) | c`` int64 (requires ids < 2^31)."""
+    import pyarrow as pa
+
+    b = np.concatenate(bs) if bs else np.empty(0, dtype=np.int64)
+    c = np.concatenate(cs) if cs else np.empty(0, dtype=np.int64)
+    if not b.size:  # np.r_[True, ...] on empties would index [0]
+        empty = pa.array(np.empty(0, dtype=np.int64))
+        if pack:
+            return pa.RecordBatch.from_arrays([empty, empty], names=["k", "m"])
+        return pa.RecordBatch.from_arrays(
+            [empty, empty, empty], names=["b", "c", "m"]
+        )
+    if pack:
+        k = (b << np.int64(32)) | c
+        ks = np.sort(k, kind="stable")
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        m = np.diff(np.r_[starts, ks.size])
+        return pa.RecordBatch.from_arrays(
+            [pa.array(ks[starts]), pa.array(m.astype(np.int64))],
+            names=["k", "m"],
+        )
+    order = np.lexsort((c, b))
+    bs_, cs_ = b[order], c[order]
+    starts = np.flatnonzero(
+        np.r_[True, (bs_[1:] != bs_[:-1]) | (cs_[1:] != cs_[:-1])]
+    )
+    m = np.diff(np.r_[starts, bs_.size])
+    return pa.RecordBatch.from_arrays(
+        [pa.array(bs_[starts]), pa.array(cs_[starts]), pa.array(m.astype(np.int64))],
+        names=["b", "c", "m"],
+    )
+
+
 def _csr_batch_iter(
     batches,
     bloom_value=None,
     edge_set_name: str | None = None,
     count_only: bool = False,
     emit_pairs: bool = False,
+    pack_pairs: bool = False,
+    agg_pairs: bool = True,
 ) -> Iterator:
     """mapInArrow kernel: wedge generation over CSR-packed partitions.
 
@@ -430,14 +472,23 @@ def _csr_batch_iter(
       partition. No wedge ever leaves the kernel: the downstream
       exchange + close join (round 3's N->4N bandwidth whale at
       0.39-0.49 efficiency) ceases to exist.
-    - ``emit_pairs``: (b, c) only, anchor dropped — the counting scale
-      path's residual-close input (a count never needs the anchor, so
-      it never leaves the NumPy kernel).
+    - ``emit_pairs``: the counting scale path's residual-close input.
+      The anchor is dropped (a count never needs it) and the surviving
+      (b, c) pairs are BUFFERED per partition and emitted ONCE at
+      end-of-partition, PRE-AGGREGATED to (key, multiplicity) — wedges
+      from different anchors in this partition that share a closing
+      pair collapse to one shuffled row (round-5 map-side combine; the
+      buffer is ~16 B/survivor, ~T/P rows — MBs per task at any scale).
+      With ``pack_pairs`` (caller guarantees ids < 2^31) the key is the
+      single int64 ``(b << 32) | c`` — half the exchanged key bytes and
+      a one-word join key; past 2^31 ids it falls back to (b, c, m).
     """
     import pyarrow as pa
 
     edge_set = _load_edge_set(edge_set_name) if edge_set_name else None
     need_a = not (count_only or emit_pairs)
+    pair_b: list[np.ndarray] = []
+    pair_c: list[np.ndarray] = []
 
     def np_col(batch: "pa.RecordBatch", name: str) -> np.ndarray:
         return batch.column(name).to_numpy(zero_copy_only=False)
@@ -461,10 +512,15 @@ def _csr_batch_iter(
             total += int(b.size)
             return None
         if emit_pairs:
-            return pa.RecordBatch.from_arrays(
-                [pa.array(b, type=pa.int64()), pa.array(c, type=pa.int64())],
-                names=["b", "c"],
-            )
+            if not agg_pairs:  # A/B harness: round-4 raw pair stream
+                return pa.RecordBatch.from_arrays(
+                    [pa.array(b, type=pa.int64()), pa.array(c, type=pa.int64())],
+                    names=["b", "c"],
+                )
+            if b.size:
+                pair_b.append(b)
+                pair_c.append(c)
+            return None
         if edge_set is not None:
             # Finished triangles: canonicalize to a < b < c (the anchor
             # is the lowest-DEGREE vertex, not the lowest id).
@@ -503,6 +559,8 @@ def _csr_batch_iter(
         yield pa.RecordBatch.from_arrays(
             [pa.array([total], type=pa.int64())], names=["n"]
         )
+    if emit_pairs and agg_pairs:
+        yield _agg_pairs_batch(pair_b, pair_c, pack_pairs)
 
 
 def _wedges_csr(
@@ -511,6 +569,8 @@ def _wedges_csr(
     edge_set_name: str | None = None,
     count_only: bool = False,
     emit_pairs: bool = False,
+    pack_pairs: bool = False,
+    agg_pairs: bool = True,
 ) -> DataFrame:
     csr = (
         oriented.select("lo", "hi", "hi_deg")
@@ -527,12 +587,16 @@ def _wedges_csr(
             edge_set_name=edge_set_name,
             count_only=count_only,
             emit_pairs=emit_pairs,
+            pack_pairs=pack_pairs,
+            agg_pairs=agg_pairs,
         )
 
     if count_only:
         schema = "n long"
-    elif emit_pairs:
+    elif emit_pairs and not agg_pairs:
         schema = "b long, c long"
+    elif emit_pairs:
+        schema = "k long, m long" if pack_pairs else "b long, c long, m long"
     else:
         schema = _WEDGE_SCHEMA
     return csr.mapInArrow(kernel, schema=schema)
@@ -603,11 +667,16 @@ def triangle_count(edges: DataFrame, strategy: str = "kernel") -> int:
       the Amdahl floor (measured: flat ~40 s at 37M edges, collapsing
       the 1 -> 4 executor efficiency to ~0.2 even as absolute walls
       improved), so instead the kernel fuses the Bloom close-key
-      pre-filter and emits only the surviving (b, c) pairs — the
-      anchor column is dropped, counting never needs it — and one
-      bounded shuffled-hash join against the oriented edge set removes
-      the false positives. Every stage fans out; the only serial term
-      left is the Bloom partial merge.
+      pre-filter and emits only the surviving closing pairs — the
+      anchor column is dropped, counting never needs it — PRE-
+      AGGREGATED per partition to (pair, wedge multiplicity) and (when
+      ids < 2^31, checked) PACKED into one int64 key, halving the
+      exchanged key bytes; one bounded shuffled-hash join against the
+      identically-keyed oriented edge set removes the Bloom false
+      positives and sum(m) over the matches is the exact count. Every
+      stage fans out; since round 5 even the Bloom partial merge runs
+      executor-side (bloom.build_blocked_bloom), so no serial driver
+      term remains.
     """
     if strategy != "kernel":
         return triangles(edges, strategy).count()
@@ -620,14 +689,48 @@ def triangle_count(edges: DataFrame, strategy: str = "kernel") -> int:
         row = partials.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n")).collect()[0]
         return int(row["n"])
     bloom_bc = _close_filter_state(oriented, n_edges, _BLOOM_FPP)
-    pairs = _wedges_csr(oriented, bloom_bc, emit_pairs=True)
-    closing = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    import os as _os
+
+    if _os.environ.get("LINKGRAPH_TRI_PREAGG", "1") == "0":
+        # A/B harness: the round-4 shape — raw un-aggregated (b, c)
+        # pair stream into the residual join, counted by rows.
+        pairs = _wedges_csr(oriented, bloom_bc, emit_pairs=True, agg_pairs=False)
+        closing = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+        if _shj_safe(oriented.sparkSession, n_edges):
+            closing = closing.hint("shuffle_hash")
+        else:
+            parts = _shj_parts(oriented.sparkSession, n_edges)
+            closing = closing.repartition(parts, "b", "c").hint("shuffle_hash")
+        return pairs.join(closing, ["b", "c"]).count()
+    # Packed single-int64 join key iff every id fits 31 bits (exact —
+    # (b << 32) | c is injective there). The max() is ~free on the
+    # checkpointed table.
+    max_id = oriented.agg(
+        F.greatest(F.max("lo"), F.max("hi")).alias("mx")
+    ).first()["mx"]
+    pack = max_id is not None and int(max_id) < (1 << 31)
+    pairs = _wedges_csr(oriented, bloom_bc, emit_pairs=True, pack_pairs=pack)
+    if pack:
+        # hi < 2^31 makes | equivalent to +; Catalyst has no int OR on
+        # longs cheaper than this shiftleft + add.
+        key_cols = ["k"]
+        closing = oriented.select(
+            (F.shiftleft(F.col("lo"), 32) + F.col("hi")).alias("k")
+        )
+    else:
+        key_cols = ["b", "c"]
+        closing = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
     if _shj_safe(oriented.sparkSession, n_edges):
         closing = closing.hint("shuffle_hash")
     else:
         parts = _shj_parts(oriented.sparkSession, n_edges)
-        closing = closing.repartition(parts, "b", "c").hint("shuffle_hash")
-    return pairs.join(closing, ["b", "c"]).count()
+        closing = closing.repartition(parts, *key_cols).hint("shuffle_hash")
+    row = (
+        pairs.join(closing, key_cols)
+        .agg(F.coalesce(F.sum("m"), F.lit(0)).alias("n"))
+        .first()
+    )
+    return int(row["n"])
 
 
 def vertex_triangle_count(tri: DataFrame) -> DataFrame:

@@ -95,8 +95,31 @@ except Exception:
     _SOUNDFILE = None
 
 
+def _decode_wav_stdlib(payload: bytes) -> np.ndarray:
+    """PCM WAV decode with only the stdlib ``wave`` module + NumPy —
+    the audio real-branch needs no third-party install for the WAV
+    container (round-5; soundfile still handles every other format).
+    Samples scale to [-1, 1) exactly like soundfile's PCM conversion;
+    multi-channel stays interleaved (matches ``reshape(-1)`` above).
+    Raises ``wave.Error`` on non-WAV bytes (strict mode propagates)."""
+    import io as _io
+    import wave as _wave
+
+    with _wave.open(_io.BytesIO(bytes(payload))) as w:
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        return np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    if width == 1:  # unsigned 8-bit per the WAV spec
+        u = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+        return (u - 128.0) / 128.0
+    if width == 4:
+        return np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    raise _wave.Error(f"unsupported PCM sample width {width}")
+
+
 def _decode_real(payload: bytes, kind: str) -> np.ndarray | None:
-    """Real decode when a codec library is present, else None.
+    """Real decode when a codec is present, else None.
 
     Video stays stubbed even with these libs (frame demux needs
     ffmpeg/pyav); its plumbing contract is identical.
@@ -106,16 +129,18 @@ def _decode_real(payload: bytes, kind: str) -> np.ndarray | None:
     if kind == "image" and _PIL_IMAGE is not None:
         img = _PIL_IMAGE.open(_io.BytesIO(bytes(payload))).convert("L")
         return np.asarray(img, dtype=np.float64).ravel() / 255.0
-    if kind == "audio" and _SOUNDFILE is not None:
-        data, _sr = _SOUNDFILE.read(_io.BytesIO(bytes(payload)))
-        return np.asarray(data, dtype=np.float64).reshape(-1)
+    if kind == "audio":
+        if _SOUNDFILE is not None:
+            data, _sr = _SOUNDFILE.read(_io.BytesIO(bytes(payload)))
+            return np.asarray(data, dtype=np.float64).reshape(-1)
+        return _decode_wav_stdlib(payload)
     return None
 
 
 def _codec_available(kind: str) -> bool:
-    return (kind == "image" and _PIL_IMAGE is not None) or (
-        kind == "audio" and _SOUNDFILE is not None
-    )
+    # audio is always decodable for the WAV container via the stdlib
+    # path; PCM is what the pipeline's own writers emit.
+    return (kind == "image" and _PIL_IMAGE is not None) or kind == "audio"
 
 
 def _decode_payload(payload: bytes, kind: str, strict: bool) -> np.ndarray:

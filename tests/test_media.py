@@ -66,8 +66,12 @@ def test_sample_frames_metadata_driven(spark):
 
 
 def test_strict_mode_raises_without_codec(spark):
+    # strict never lets the stub serve: image/video raise "no codec"
+    # (PIL/pyav absent here); audio's stdlib WAV branch rejects the
+    # garbage payload with a real decode error ("RIFF"). Either way
+    # the stub cannot silently satisfy strict=True.
     m = synthetic_media(spark, n=3)
-    with pytest.raises(Exception, match="no codec"):
+    with pytest.raises(Exception, match="no codec|RIFF|WAV"):
         extract_features(m, strict=True).collect()
 
 

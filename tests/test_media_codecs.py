@@ -29,12 +29,25 @@ def _png_payload() -> tuple[bytes, np.ndarray]:
 
 
 def _wav_payload() -> tuple[bytes, np.ndarray]:
-    """An 8-sample 16-bit WAV with known samples, via soundfile itself."""
-    import soundfile as sf
-
+    """An 8-sample 16-bit WAV with known samples. Written via soundfile
+    when installed, else the stdlib ``wave`` writer — so the audio
+    real-branch test runs in THIS sandbox too (round-5 item 5)."""
     data = np.array([0.0, 0.25, -0.25, 0.5, -0.5, 0.75, -0.75, 0.0])
     buf = io.BytesIO()
-    sf.write(buf, data, samplerate=8000, format="WAV", subtype="PCM_16")
+    if M._SOUNDFILE is not None:
+        M._SOUNDFILE.write(buf, data, samplerate=8000, format="WAV", subtype="PCM_16")
+    else:
+        import wave
+
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(
+                np.clip(np.round(data * 32768.0), -32768, 32767)
+                .astype("<i2")
+                .tobytes()
+            )
     return buf.getvalue(), data
 
 
@@ -47,8 +60,9 @@ def test_real_image_decode_exact_pixels():
     assert M._codec_available("image")
 
 
-@pytest.mark.skipif(M._SOUNDFILE is None, reason="soundfile not installed")
 def test_real_audio_decode_roundtrip():
+    # always runnable: WAV PCM16 decodes via stdlib wave when
+    # soundfile is absent (round-5), soundfile otherwise
     payload, want = _wav_payload()
     got = M._decode_payload(payload, "audio", strict=True)
     # PCM_16 quantization: within one LSB of the written samples

@@ -16,28 +16,44 @@ REPO_ROOT = Path(__file__).resolve().parents[1]
 
 # The curated first-50 contract set (order-insensitive membership check;
 # the exact ordering inside the window doesn't matter to the driver).
+#
+# ROTATION HISTORY (VERDICT r4 item 6 — each round ~10 long-green rows
+# swap out for rows that so far only have full-registry-log evidence,
+# so all 137 queries accumulate driver-grade CORRECTNESS rows over
+# rounds; the FORMERLY_RED seven never rotate out):
+# - round 4: "triangles" (join variant) -> "wordpiece_tokens"; G5
+#   semantics stay pinned by triangles_sql/triangles_csr/triangle_count.
+# - round 5 out: degrees, edge_support, reciprocal_edges, kcore_4,
+#   dedup_exact, embedding_topk, paragraph_dedup, events_window_counts,
+#   events_funnel, events_asof (oracles untouched by the round-5
+#   diffs; families stay pinned by sibling rows + pytest).
+# - round 5 in: training_shards, betweenness, louvain_communities,
+#   scc_labels, hyperball_balls, sssp_weighted, fiedler_vector,
+#   item_similarity, butterfly_count, windowed_pagerank.
 CONTRACT_SET = {
-    # graph core (15)
+    # graph core
     "copurchase_edges",
-    "degrees",
     "degree_histogram",
-    # round 4: "triangles" (join variant) swapped out for
-    # "wordpiece_tokens" — G5 semantics stay pinned by triangles_sql /
-    # triangles_csr / triangle_count; wordpiece needed window evidence.
     "wordpiece_tokens",
     "triangles_csr",
     "triangle_count",
-    "edge_support",
-    "reciprocal_edges",
     "connected_components",
     "pagerank",
     "label_propagation",
     "ktruss_4",
     "max_truss",
     "truss_decomposition",
-    "kcore_4",
-    # LLM data pipeline (35)
-    "dedup_exact",
+    # round-5 rotation: wider graph-operator coverage
+    "betweenness",
+    "louvain_communities",
+    "scc_labels",
+    "hyperball_balls",
+    "sssp_weighted",
+    "fiedler_vector",
+    "item_similarity",
+    "butterfly_count",
+    "windowed_pagerank",
+    # LLM data pipeline
     "dedup_groups",
     "dedup_against",
     "dedup_clusters",
@@ -45,16 +61,15 @@ CONTRACT_SET = {
     "simhash_pairs",
     "ngram_jaccard",
     "embedding_lsh",
-    "embedding_topk",
     "ivf_topk",
     "semantic_dedup",
-    "paragraph_dedup",
     "duplicate_spans",
     "duplicate_fraction",
     "token_stats",
     "quality_features",
     "language_id",
     "sequence_packing",
+    "training_shards",
     "tfidf_top_terms",
     "vocabulary",
     "oov_rate",
@@ -69,9 +84,6 @@ CONTRACT_SET = {
     "dsir_resample",
     "media_features",
     "events_sessionize",
-    "events_window_counts",
-    "events_funnel",
-    "events_asof",
 }
 
 # Rows that FAILED the round-1 driver gate — these may never leave the

@@ -284,3 +284,17 @@ def test_delta_triangles_fallback_close(spark, monkeypatch):
         for r in T.delta_triangles(edge_df(spark, base), edge_df(spark, delta)).collect()
     }
     assert got == want and want
+
+
+def test_kernel_count_scale_path_unpacked_ids(spark, monkeypatch):
+    """Vertex ids past 2^31 disable the packed single-int64 join key;
+    the (b, c, m) fallback of the pre-aggregated residual close must
+    stay exact (round-5 scale-path change)."""
+    import linkgraph.graph.triangles as T
+
+    edges = canonicalize(gnp_graph(spark, n=100, p=0.1, seed=3))
+    want = triangle_count(edges)
+    base = 1 << 33  # shifting both endpoints preserves canonical order
+    shifted = edges.selectExpr(f"src + {base}L as src", f"dst + {base}L as dst")
+    monkeypatch.setattr(T, "_BROADCAST_EDGE_LIMIT", 0)
+    assert T.triangle_count(shifted) == want
