@@ -298,3 +298,29 @@ def test_kernel_count_scale_path_unpacked_ids(spark, monkeypatch):
     shifted = edges.selectExpr(f"src + {base}L as src", f"dst + {base}L as dst")
     monkeypatch.setattr(T, "_BROADCAST_EDGE_LIMIT", 0)
     assert T.triangle_count(shifted) == want
+
+
+def test_agg_pairs_batch_unit():
+    """Pure-NumPy contract of the end-of-partition pair aggregation:
+    multiplicities sum to the input size, keys are distinct, packed and
+    unpacked forms agree, empties produce empty batches."""
+    import numpy as np
+
+    from linkgraph.graph.triangles import _agg_pairs_batch
+
+    b = np.array([5, 3, 5, 3, 5, 7], dtype=np.int64)
+    c = np.array([9, 4, 9, 4, 1, 2], dtype=np.int64)
+    packed = _agg_pairs_batch([b], [c], pack=True)
+    k = packed.column(0).to_numpy(zero_copy_only=False)
+    m = packed.column(1).to_numpy(zero_copy_only=False)
+    assert m.sum() == b.size and len(set(k.tolist())) == len(k)
+    want = {(3 << 32) | 4: 2, (5 << 32) | 9: 2, (5 << 32) | 1: 1, (7 << 32) | 2: 1}
+    assert dict(zip(k.tolist(), m.tolist())) == want
+    unpacked = _agg_pairs_batch([b], [c], pack=False)
+    bb = unpacked.column(0).to_numpy(zero_copy_only=False)
+    cc = unpacked.column(1).to_numpy(zero_copy_only=False)
+    mm = unpacked.column(2).to_numpy(zero_copy_only=False)
+    assert dict(zip(((x << 32) | y for x, y in zip(bb, cc)), mm.tolist())) == want
+    for pack in (True, False):
+        e = _agg_pairs_batch([], [], pack=pack)
+        assert e.num_rows == 0
