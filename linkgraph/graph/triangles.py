@@ -130,6 +130,36 @@ def _bloom_mask(state, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 # bloom-prefiltered wedge stream + exact residual close join.
 _KERNEL_CLOSE_EDGE_LIMIT = 200_000_000
 
+
+def _parse_jvm_size(s: str) -> int:
+    """'24g' / '16384m' / '1t' / plain bytes -> bytes."""
+    s = s.strip().lower()
+    mult = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(s)
+
+
+def _kernel_close_limit(spark) -> int:
+    """Auto-enable bound for the in-kernel exact close, derived from
+    the configured driver sizing instead of the fixed constant alone.
+
+    The serial edge-set build transiently holds ~56 B/edge on the
+    driver (24 B Arrow frame + 8 B argsort order + 24 B packed array;
+    the frame is freed before staging). spark.driver.memory sizes the
+    driver JVM, the natural proxy for how the operator's host was
+    provisioned (the pandas build lives in the Python process next to
+    it); budget half of it, so the default 24g driver keeps the
+    measured 200M ceiling (24g/2/56B ~ 230M -> min with the constant)
+    while an 8g driver auto-falls back to the scale path at ~76M edges
+    instead of OOMing near 200M.
+    """
+    try:
+        mem = _parse_jvm_size(spark.conf.get("spark.driver.memory", "4g"))
+    except (ValueError, TypeError):
+        return _KERNEL_CLOSE_EDGE_LIMIT
+    return min(_KERNEL_CLOSE_EDGE_LIMIT, mem // 2 // 56)
+
 # Worker-process cache: file name -> (H uint64 sorted, LO, HI) views.
 _EDGE_SET_CACHE: dict[str, tuple] = {}
 
@@ -636,7 +666,7 @@ def triangles(
         bloom_bc = _close_filter_state(oriented, n_edges, bloom_fpp)
     if strategy == "csr":
         if kernel_close is None:
-            kernel_close = n_edges <= _KERNEL_CLOSE_EDGE_LIMIT
+            kernel_close = n_edges <= _kernel_close_limit(edges.sparkSession)
         if kernel_close:
             return _wedges_csr(
                 oriented, bloom_bc, edge_set_name=_edge_set_file(oriented)

@@ -324,3 +324,20 @@ def test_agg_pairs_batch_unit():
     for pack in (True, False):
         e = _agg_pairs_batch([], [], pack=pack)
         assert e.num_rows == 0
+
+
+def test_kernel_close_limit_tracks_driver_memory(spark, monkeypatch):
+    import linkgraph.graph.triangles as T
+
+    assert T._parse_jvm_size("24g") == 24 * 1024**3
+    assert T._parse_jvm_size("16384m") == 16 * 1024**3
+    assert T._parse_jvm_size("1024") == 1024
+    # default 24g session keeps the measured constant ceiling
+    assert T._kernel_close_limit(spark) == T._KERNEL_CLOSE_EDGE_LIMIT
+    # a small driver lowers the auto threshold proportionally
+    class _FakeConf:
+        def get(self, k, d=None):
+            return "8g"
+    class _FakeSession:
+        conf = _FakeConf()
+    assert T._kernel_close_limit(_FakeSession()) == 8 * 1024**3 // 2 // 56
