@@ -202,6 +202,7 @@ def run_level(mode: str, edges_path: str) -> None:
         # minute-scale host stalls that trip the default 120s executor
         # heartbeat deadline and kill the run mid-stage.
         extra = {
+            "spark.ui.enabled": "true",
             "spark.executor.memory": "16g",
             "spark.submit.pyFiles": PYFILES_ZIP,
             "spark.network.timeout": "600s",

@@ -62,10 +62,16 @@ def run_level(mode: str, edges_path: str) -> None:
             "spark.network.timeout": "600s",
             "spark.executor.heartbeatInterval": "60s",
         }
+    # Shuffle partitions scale with DATA, not cores (scaling.py, round
+    # 4): at 148.6M edges, 8 partitions put ~18.6M rows in one
+    # aggregation task's hash map and OOM'd the 16g executor heap. AQE
+    # coalesces small partitions, so the high count is safe at every
+    # level.
+    shuffle = int(os.environ.get("TRUSS_SHUFFLE", "0")) or max(cores, 128)
     spark = build_session(
         f"truss-scaling-{mode}",
         master=master,
-        shuffle_partitions=cores,
+        shuffle_partitions=shuffle,
         extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
